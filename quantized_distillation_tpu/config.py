@@ -1,0 +1,107 @@
+"""Typed configuration tree for the framework.
+
+The reference has no config system — hyperparameters travel as long kwarg
+lists (``numBits``, ``bucket_size``, ``use_distillation_loss`` … in
+``cnn_models/help_fun.py`` / ``translation_models/help_fun.py``). Here the
+same knobs live in small dataclasses, with defaults mirroring the reference's
+experiment settings (bucket size 256, distillation temperature/weight, etc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from .ops.bucketing import DEFAULT_BUCKET_SIZE, LINEAR
+
+
+@dataclass(frozen=True)
+class QuantSpec:
+    """How to quantize weights.
+
+    Mirrors the reference's quantization kwargs: ``numBits`` → ``bits``,
+    ``bucket_size`` (256 in all paper experiments), ``typeOfScaling`` →
+    ``scaling``, stochastic rounding flag, and the skip-first/last-layer
+    option expressed as regexes over parameter paths.
+    """
+
+    bits: int = 4
+    bucket_size: int = DEFAULT_BUCKET_SIZE
+    scaling: str = LINEAR
+    stochastic: bool = False
+    # 'uniform' grid fake-quant, or 'codebook' (learned points).
+    method: str = "uniform"
+    # Parameter-path substrings to keep at full precision (e.g. biases and
+    # batch-norm params are never quantized — they're a negligible fraction
+    # of the size, matching the reference which quantizes weight matrices).
+    exclude_substrings: Tuple[str, ...] = ("bias", "bn", "batch_stats", "scale_param")
+
+    def excludes(self, path: str) -> bool:
+        return any(s in path for s in self.exclude_substrings)
+
+    def replace(self, **kw) -> "QuantSpec":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class DistillSpec:
+    """Knowledge-distillation loss configuration.
+
+    loss = (1 - weight) * CE(student, labels)
+         + weight * T^2 * KL(softmax_T(teacher) || softmax_T(student))
+    as in the reference's distillation-loss helper (``cnn_models/help_fun.py``).
+    """
+
+    weight: float = 0.7
+    temperature: float = 5.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 128
+    epochs: int = 10
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    # Gradient clipping (the NMT path clips like onmt/Optim.py).
+    clip_norm: Optional[float] = None
+    optimizer: str = "adam"  # 'adam' | 'sgd' | 'momentum'
+    lr_schedule: str = "constant"  # 'constant' | 'cosine' | 'step'
+    lr_decay_rate: float = 0.5
+    lr_decay_every: int = 0  # steps; 0 = never
+    warmup_steps: int = 0
+    seed: int = 0
+    quant: Optional[QuantSpec] = None
+    distill: Optional[DistillSpec] = None
+    log_every: int = 50
+    eval_every: int = 0  # steps; 0 = per-epoch
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: data axis on DCN (inter-host), model axis on ICI."""
+
+    data: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class BeamConfig:
+    """Beam-search decoding configuration (reference: onmt/Translator.py)."""
+
+    beam_size: int = 5
+    max_len: int = 100
+    length_penalty: float = 0.0  # 0 = none; >0 = GNMT-style length normalization
+    n_best: int = 1
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Continuous-batching serving engine configuration."""
+
+    max_slots: int = 64
+    max_src_len: int = 64
+    max_tgt_len: int = 100
+    beam: BeamConfig = field(default_factory=BeamConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
