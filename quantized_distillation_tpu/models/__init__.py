@@ -1,0 +1,35 @@
+"""Model zoo: CIFAR CNN, WideResNet, OpenNMT-style LSTM seq2seq.
+
+Covers the reference's ``cnn_models/`` and ``onmt/Models.py`` model families.
+"""
+
+from .cnn import PRESETS as CNN_PRESETS
+from .cnn import CNNSpec, ConvForwardNet, make_cnn
+from .seq2seq import (
+    SEQ2SEQ_PRESETS,
+    DecoderState,
+    Encoder,
+    LuongAttention,
+    Seq2Seq,
+    Seq2SeqConfig,
+    make_seq2seq,
+)
+from .wide_resnet import WRN_PRESETS, BasicBlock, WideResNet, make_wrn
+
+__all__ = [
+    "CNN_PRESETS",
+    "CNNSpec",
+    "ConvForwardNet",
+    "make_cnn",
+    "SEQ2SEQ_PRESETS",
+    "DecoderState",
+    "Encoder",
+    "LuongAttention",
+    "Seq2Seq",
+    "Seq2SeqConfig",
+    "make_seq2seq",
+    "WRN_PRESETS",
+    "BasicBlock",
+    "WideResNet",
+    "make_wrn",
+]

@@ -1,0 +1,233 @@
+"""Jit'd knowledge-distillation trainer with fake-quant STE weights.
+
+Re-designs the reference's training orchestration
+(``cnn_models/help_fun.py::train_model`` and the NMT loop in
+``translation_models/help_fun.py``). One compiled ``train_step`` contains the
+whole per-batch pipeline the reference runs as Python: fake-quantize the
+weights (STE), student forward, teacher forward (stop-grad), KD loss,
+backward, optimizer update on the full-precision master weights.
+
+TPU-first:
+
+- The step is a single ``jax.jit`` with donated state: weights, optimizer
+  state and batch stats live on device; the host only feeds batches.
+- Data parallelism is sharding, not code: given a mesh, the batch is sharded
+  over the ``data`` axis and the state replicated; XLA inserts the gradient
+  ``psum``. No process groups, no NCCL (the reference has none either — this
+  is pure capability addition per BASELINE north-star).
+- Three quantization modes cover both paper algorithms:
+  ``weights`` (quantized distillation: STE fake-quant, optimizer on FP
+  master weights), ``codebooks`` (differentiable quantization: weights
+  frozen, optimizer on the per-layer quantization points), ``joint``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import DistillSpec, QuantSpec, TrainConfig
+from . import quantize_tree as qt
+from .losses import distillation_loss
+
+PyTree = Any
+Batch = Dict[str, jnp.ndarray]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: PyTree
+    opt_state: optax.OptState
+    batch_stats: Optional[PyTree] = None
+    codebooks: Optional[Dict[str, jnp.ndarray]] = None
+
+
+@dataclass(frozen=True)
+class Task:
+    """What the trainer needs to know about a workload.
+
+    ``student_forward(variables, batch, train, rngs) -> (logits, updates)``
+    where ``updates`` is the mutated collections dict (batch_stats) or {}.
+    ``teacher_forward(batch) -> logits`` is pre-bound to teacher variables.
+    ``loss_and_metrics(student_logits, teacher_logits, batch, distill)``
+    returns ``(scalar loss, metrics dict)``.
+    """
+
+    student_forward: Callable[..., Tuple[jnp.ndarray, Dict]]
+    loss_and_metrics: Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+    teacher_forward: Optional[Callable[[Batch], jnp.ndarray]] = None
+
+
+def build_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Optimizer + LR schedule (reference: torch.optim + onmt/Optim.py)."""
+    total_steps = max(cfg.epochs * steps_per_epoch, 1)
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, max(cfg.warmup_steps, 1), total_steps
+        )
+    elif cfg.lr_schedule == "step":
+        every = cfg.lr_decay_every or steps_per_epoch
+        sched = optax.exponential_decay(
+            cfg.learning_rate, every, cfg.lr_decay_rate, staircase=True
+        )
+    else:
+        sched = optax.constant_schedule(cfg.learning_rate)
+    if cfg.optimizer == "adam":
+        tx = optax.adam(sched)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(sched)
+    elif cfg.optimizer == "momentum":
+        tx = optax.sgd(sched, momentum=0.9, nesterov=True)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = []
+    if cfg.clip_norm:
+        chain.append(optax.clip_by_global_norm(cfg.clip_norm))
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+def _trainable(state: TrainState, mode: str) -> PyTree:
+    if mode == "weights":
+        return state.params
+    if mode == "codebooks":
+        return state.codebooks
+    if mode == "joint":
+        return (state.params, state.codebooks)
+    raise ValueError(f"unknown train mode {mode!r}")
+
+
+def _with_trainable(state: TrainState, mode: str, value: PyTree) -> TrainState:
+    if mode == "weights":
+        return state.replace(params=value)
+    if mode == "codebooks":
+        return state.replace(codebooks=value)
+    return state.replace(params=value[0], codebooks=value[1])
+
+
+def create_train_state(
+    params: PyTree,
+    tx: optax.GradientTransformation,
+    *,
+    batch_stats: Optional[PyTree] = None,
+    quant: Optional[QuantSpec] = None,
+    codebook_init: str = "uniform",
+    mode: str = "weights",
+) -> TrainState:
+    codebooks = None
+    if quant is not None and quant.method == "codebook":
+        codebooks = qt.init_codebook_tree(params, quant, codebook_init)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(
+            _trainable(
+                TrainState(jnp.zeros((), jnp.int32), params, None, batch_stats, codebooks),
+                mode,
+            )
+        ),
+        batch_stats=batch_stats,
+        codebooks=codebooks,
+    )
+    return state
+
+
+def quantized_params(
+    params: PyTree,
+    quant: Optional[QuantSpec],
+    codebooks: Optional[Dict[str, jnp.ndarray]],
+    key: Optional[jax.Array],
+) -> PyTree:
+    """STE fake-quant view of the parameters (identity when quant is None)."""
+    if quant is None:
+        return params
+    if quant.method == "codebook":
+        return qt.ste_codebook_tree(params, codebooks, quant)
+    return qt.ste_quantize_tree(params, quant, key)
+
+
+def make_train_step(
+    task: Task,
+    tx: optax.GradientTransformation,
+    *,
+    quant: Optional[QuantSpec] = None,
+    distill: Optional[DistillSpec] = None,
+    mode: str = "weights",
+    donate: bool = True,
+):
+    """Build the compiled train step: (state, batch, rng) -> (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: Batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        q_rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(trainable):
+            tmp = _with_trainable(state, mode, trainable)
+            params = tmp.params if mode != "codebooks" else jax.lax.stop_gradient(
+                tmp.params
+            )
+            q_params = quantized_params(params, quant, tmp.codebooks, q_rng)
+            variables = {"params": q_params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            logits, updates = task.student_forward(
+                variables, batch, True, {"dropout": dropout_rng}
+            )
+            teacher_logits = (
+                task.teacher_forward(batch) if task.teacher_forward else None
+            )
+            loss, metrics = task.loss_and_metrics(
+                logits, teacher_logits, batch, distill
+            )
+            return loss, (metrics, updates)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, updates)), grads = grad_fn(_trainable(state, mode))
+        opt_updates, new_opt_state = tx.update(
+            grads, state.opt_state, _trainable(state, mode)
+        )
+        new_trainable = optax.apply_updates(_trainable(state, mode), opt_updates)
+        state = _with_trainable(state, mode, new_trainable)
+        state = state.replace(
+            step=state.step + 1,
+            opt_state=new_opt_state,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    task: Task,
+    *,
+    quant: Optional[QuantSpec] = None,
+    quantized_eval: bool = True,
+):
+    """Eval step on deployment (hard-quantized) weights, as the reference
+    evaluates the quantized model, not the FP master copy."""
+
+    def eval_fn(state: TrainState, batch: Batch):
+        params = state.params
+        if quant is not None and quantized_eval:
+            params = qt.quantize_tree_hard(params, quant, state.codebooks)
+        variables = {"params": params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits, _ = task.student_forward(variables, batch, False, {})
+        _, metrics = task.loss_and_metrics(logits, None, batch, None)
+        return metrics
+
+    return jax.jit(eval_fn)
