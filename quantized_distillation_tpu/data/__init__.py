@@ -1,0 +1,35 @@
+"""Data pipelines: CIFAR vision datasets and NMT parallel corpora.
+
+Covers the reference's ``datasets/`` package and ``onmt/IO.py``.
+"""
+
+from .cifar import ImageDataset, augment, batches, load_cifar
+from .translation import (
+    BOS,
+    EOS,
+    PAD,
+    UNK,
+    ParallelCorpus,
+    Vocab,
+    build_vocab,
+    load_parallel_files,
+    nmt_batches,
+    toy_corpus,
+)
+
+__all__ = [
+    "ImageDataset",
+    "augment",
+    "batches",
+    "load_cifar",
+    "BOS",
+    "EOS",
+    "PAD",
+    "UNK",
+    "ParallelCorpus",
+    "Vocab",
+    "build_vocab",
+    "load_parallel_files",
+    "nmt_batches",
+    "toy_corpus",
+]

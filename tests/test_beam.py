@@ -1,0 +1,145 @@
+"""Beam search + BLEU tests, incl. the train→decode→BLEU integration path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_distillation_tpu.config import BeamConfig, TrainConfig
+from quantized_distillation_tpu.data import EOS, PAD, nmt_batches, toy_corpus
+from quantized_distillation_tpu.models import make_seq2seq
+from quantized_distillation_tpu.serve import (
+    beam_search,
+    greedy_decode,
+    length_penalty,
+    tokens_to_sentences,
+)
+from quantized_distillation_tpu.train import (
+    build_optimizer,
+    create_train_state,
+    make_train_step,
+    nmt_task,
+)
+from quantized_distillation_tpu.utils import corpus_bleu
+
+
+@pytest.fixture(scope="module")
+def random_model():
+    m = make_seq2seq("student_small", 30, 30, hidden=64, embed_dim=32, dropout=0.0)
+    src = jnp.asarray([[5, 6, 7, 8], [9, 10, 0, 0]], jnp.int32)
+    src_len = jnp.asarray([4, 2], jnp.int32)
+    v = m.init(
+        jax.random.PRNGKey(0), src, src_len, jnp.asarray([[1, 5], [1, 6]], jnp.int32)
+    )
+    return m, v, src, src_len
+
+
+class TestBeamSearch:
+    def test_beam1_matches_stepwise_greedy(self, random_model):
+        m, v, src, src_len = random_model
+        toks = greedy_decode(m, v, src, src_len, max_len=6)
+        # manual stepwise argmax
+        enc_out, enc_mask, state = m.apply(v, src, src_len, method=m.encode)
+        cur = jnp.full((2,), 1, jnp.int32)
+        done = np.zeros(2, bool)
+        manual = []
+        for _ in range(6):
+            state, logits = m.apply(
+                v, state, cur, enc_out, enc_mask, method=m.decode_step
+            )
+            cur = jnp.argmax(logits, -1).astype(jnp.int32)
+            row = np.asarray(cur).copy()
+            row[done] = PAD
+            manual.append(row)
+            done |= np.asarray(cur) == EOS
+        np.testing.assert_array_equal(np.asarray(toks), np.stack(manual, 1))
+
+    def test_wider_beam_never_worse_score(self, random_model):
+        m, v, src, src_len = random_model
+        _, s1 = beam_search(m, v, src, src_len, BeamConfig(beam_size=1, max_len=6))
+        _, s4 = beam_search(m, v, src, src_len, BeamConfig(beam_size=4, max_len=6))
+        assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all()
+
+    def test_finished_beams_emit_pad(self, random_model):
+        m, v, src, src_len = random_model
+        toks, _ = beam_search(m, v, src, src_len, BeamConfig(beam_size=3, max_len=8))
+        for row in np.asarray(toks):
+            if EOS in row:
+                after = row[list(row).index(EOS) + 1 :]
+                assert (after == PAD).all()
+
+    def test_length_penalty(self):
+        lp = length_penalty(jnp.asarray([5]), 0.0)
+        assert float(lp[0]) == 1.0
+        lp2 = length_penalty(jnp.asarray([1, 25]), 1.0)
+        assert float(lp2[0]) < float(lp2[1])
+
+
+class TestBLEU:
+    def test_perfect_match(self):
+        h = [["a", "b", "c", "d"], ["x", "y", "z", "w"]]
+        assert corpus_bleu(h, h) == pytest.approx(100.0)
+
+    def test_no_match(self):
+        assert corpus_bleu([["a", "b", "c", "d"]], [["x", "y", "z", "w"]]) == 0.0
+
+    def test_brevity_penalty(self):
+        ref = [["a", "b", "c", "d", "e", "f"]]
+        short = [["a", "b", "c", "d"]]
+        full = [["a", "b", "c", "d", "e", "f"]]
+        assert corpus_bleu(short, ref) < corpus_bleu(full, ref)
+
+    def test_mismatched_counts_raise(self):
+        with pytest.raises(ValueError):
+            corpus_bleu([["a"]], [["a"], ["b"]])
+
+
+class TestEndToEndToyNMT:
+    def test_train_beam_bleu(self):
+        """SURVEY §4 item 4: tiny end-to-end — train on the toy reversal task,
+        beam-decode a held-out split, BLEU must be high."""
+        corpus = toy_corpus(n=1200, vocab_size=30, min_len=3, max_len=6, seed=0)
+        model = make_seq2seq(
+            "student_small",
+            len(corpus.src_vocab),
+            len(corpus.tgt_vocab),
+            hidden=64,
+            embed_dim=48,
+            dropout=0.0,
+        )
+        b0 = next(nmt_batches(corpus, 64))
+        sv = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(b0["src"]),
+            jnp.asarray(b0["src_len"]),
+            jnp.asarray(b0["tgt_in"]),
+        )
+        task = nmt_task(model)
+        tx = build_optimizer(TrainConfig(learning_rate=4e-3, clip_norm=5.0))
+        state = create_train_state(sv["params"], tx)
+        step = make_train_step(task, tx, donate=False)
+        rng = jax.random.PRNGKey(1)
+        for epoch in range(10):
+            for batch in nmt_batches(corpus, 64, seed=epoch, drop_remainder=True):
+                batch.pop("index")
+                state, m = step(
+                    state, {k: jnp.asarray(v) for k, v in batch.items()}, rng
+                )
+        test = toy_corpus(n=60, vocab_size=30, min_len=3, max_len=6, seed=99)
+        bs = jax.jit(
+            lambda s, l: beam_search(
+                model,
+                {"params": state.params},
+                s,
+                l,
+                BeamConfig(beam_size=4, max_len=10),
+            )
+        )
+        hyps = {}
+        for batch in nmt_batches(test, 60, shuffle=False):
+            toks, _ = bs(jnp.asarray(batch["src"]), jnp.asarray(batch["src_len"]))
+            for i, sent in zip(batch["index"], tokens_to_sentences(toks, test.tgt_vocab)):
+                hyps[int(i)] = sent
+        refs = [test.tgt_vocab.decode(t) for t in test.tgt]
+        bleu = corpus_bleu([hyps[i] for i in range(len(refs))], refs)
+        assert bleu > 60.0, f"toy BLEU too low: {bleu}"
