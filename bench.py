@@ -27,10 +27,10 @@ import numpy as np
 
 
 def build(args):
-    from quantized_distillation_tpu.config import BeamConfig, QuantSpec
+    from quantized_distillation_tpu.config import BeamConfig
     from quantized_distillation_tpu.models import make_seq2seq
     from quantized_distillation_tpu.serve import beam_search
-    from quantized_distillation_tpu.train.quantize_tree import quantize_tree_hard
+    from quantized_distillation_tpu.serve.infer import beam_search_packed, pack_decoder
 
     model = make_seq2seq(args.preset, args.vocab, args.vocab)
     rng = jax.random.PRNGKey(0)
@@ -38,30 +38,42 @@ def build(args):
     src_len = jnp.full((args.batch,), args.src_len, jnp.int32)
     tgt_probe = jnp.ones((args.batch, 2), jnp.int32)
     variables = model.init(rng, src, src_len, tgt_probe)
-    params_fp = variables["params"]
-    params_q = quantize_tree_hard(params_fp, QuantSpec(bits=args.bits))
+    # quantized path: packed INT-bits weights + fused Pallas dequant+matmul
+    use_pallas = jax.devices()[0].platform != "cpu"
+    dec = pack_decoder(
+        variables["params"], model.cfg, args.bits, use_pallas=use_pallas
+    )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
 
-    def decode_loop(params, src0, sl):
+    def chain(decode_fn, src0, sl):
         # R chained decodes; each feeds its tokens back as the next source so
         # the chain cannot be elided or overlapped away.
         def body(s, _):
-            toks, scores = beam_search(model, {"params": params}, s, sl, cfg)
+            toks, scores = decode_fn(s, sl)
             nxt = jnp.clip(toks, 4, args.vocab - 1).astype(jnp.int32)
             return nxt, jnp.sum(scores)
+
         _, sums = jax.lax.scan(body, src0, None, length=args.inner)
         return jnp.sum(sums)
 
-    return jax.jit(decode_loop), params_fp, params_q, src, src_len
+    fp_loop = jax.jit(
+        lambda s0, sl: chain(lambda s, l: beam_search(model, variables, s, l, cfg), s0, sl)
+    )
+    q_loop = jax.jit(
+        lambda s0, sl: chain(
+            lambda s, l: beam_search_packed(model, variables, dec, s, l, cfg), s0, sl
+        )
+    )
+    return fp_loop, q_loop, src, src_len
 
 
-def time_path(fn, params, src, src_len, iters, warmup=1):
+def time_path(fn, src, src_len, iters, warmup=1):
     for _ in range(warmup):
-        float(fn(params, src, src_len))  # scalar readback forces completion
+        float(fn(src, src_len))  # scalar readback forces completion
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(iters):
-        acc += float(fn(params, src, src_len))
+        acc += float(fn(src, src_len))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(acc)
     return dt
@@ -83,9 +95,9 @@ def main():
         args.vocab, args.batch, args.src_len = 512, 8, 8
         args.iters, args.inner = 2, 2
 
-    fn, params_fp, params_q, src, src_len = build(args)
-    t_fp = time_path(fn, params_fp, src, src_len, args.iters)
-    t_q = time_path(fn, params_q, src, src_len, args.iters)
+    fp_loop, q_loop, src, src_len = build(args)
+    t_fp = time_path(fp_loop, src, src_len, args.iters)
+    t_q = time_path(q_loop, src, src_len, args.iters)
     tokens = args.batch * args.src_len * args.inner
     tok_s_q = tokens / t_q
     tok_s_fp = tokens / t_fp

@@ -1,0 +1,19 @@
+"""Pallas TPU kernels: packed weights, fused dequant+matmul.
+
+The executable replacement for the reference's ``quantization/`` tensor math
+on the serving path (north-star: packed INT2/4/8 weights resident in HBM,
+dequant fused into the matmuls).
+"""
+
+from .dequant_matmul import dequant_matmul, dequant_matmul_reference
+from .packed import BUCKET, PackedLinear, dequantize_linear, pack_linear, plane_unpack
+
+__all__ = [
+    "dequant_matmul",
+    "dequant_matmul_reference",
+    "BUCKET",
+    "PackedLinear",
+    "dequantize_linear",
+    "pack_linear",
+    "plane_unpack",
+]

@@ -112,6 +112,50 @@ def expand_to_beams(tree: PyTree, beam_size: int) -> PyTree:
     )
 
 
+def beam_decode(
+    decode_step: Callable[[PyTree, jnp.ndarray], Tuple[PyTree, jnp.ndarray]],
+    dec_state_beams: PyTree,
+    batch: int,
+    cfg: BeamConfig,
+    *,
+    bos_id: int = BOS,
+    eos_id: int = EOS,
+    pad_id: int = PAD,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
+
+    ``decode_step(state [B*K,...], tokens [B*K]) -> (state, logits [B*K, V])``
+    may be the flax module path or the packed-kernel inference path
+    (:mod:`.infer`) — the beam bookkeeping is identical.
+    """
+    k = cfg.beam_size
+    init = BeamState(
+        decoder_state=dec_state_beams,
+        tokens=jnp.full((batch, k, cfg.max_len), pad_id, jnp.int32),
+        last_token=jnp.full((batch, k), bos_id, jnp.int32),
+        # only beam 0 is alive at t=0 (all beams start identical)
+        scores=jnp.tile(
+            jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (batch, 1)
+        ),
+        finished=jnp.zeros((batch, k), bool),
+        lengths=jnp.zeros((batch, k), jnp.int32),
+    )
+
+    def scan_body(state, t):
+        return (
+            step_beams(
+                decode_step, state, t, beam_size=k, eos_id=eos_id, pad_id=pad_id
+            ),
+            None,
+        )
+
+    final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
+    norm = final.scores / length_penalty(final.lengths, cfg.length_penalty)
+    best = jnp.argmax(norm, axis=1)  # [B]
+    take = jax.vmap(lambda a, i: a[i])
+    return take(final.tokens, best), take(norm, best)
+
+
 def beam_search(
     model,
     variables: PyTree,
@@ -143,31 +187,10 @@ def beam_search(
             method=model.decode_step,
         )
 
-    init = BeamState(
-        decoder_state=dec_state_b,
-        tokens=jnp.full((b, k, cfg.max_len), pad_id, jnp.int32),
-        last_token=jnp.full((b, k), bos_id, jnp.int32),
-        # only beam 0 is alive at t=0 (all beams start identical)
-        scores=jnp.tile(
-            jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1)
-        ),
-        finished=jnp.zeros((b, k), bool),
-        lengths=jnp.zeros((b, k), jnp.int32),
+    return beam_decode(
+        decode_step, dec_state_b, b, cfg,
+        bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
     )
-
-    def scan_body(state, t):
-        return (
-            step_beams(
-                decode_step, state, t, beam_size=k, eos_id=eos_id, pad_id=pad_id
-            ),
-            None,
-        )
-
-    final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
-    norm = final.scores / length_penalty(final.lengths, cfg.length_penalty)
-    best = jnp.argmax(norm, axis=1)  # [B]
-    take = jax.vmap(lambda a, i: a[i])
-    return take(final.tokens, best), take(norm, best)
 
 
 def greedy_decode(

@@ -1,0 +1,88 @@
+"""Per-kernel roofline verification (north-star: every dequant+matmul kernel
+roofline-verified per chip).
+
+Measures the fused dequant+matmul kernels against dense XLA baselines on the
+serving shapes (generator matmul of the WMT13 student: M = batch*beam,
+K = hidden, N = vocab) and prints achieved FLOP/s + HBM bandwidth vs peaks.
+
+Run on TPU: python scripts/roofline.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=320, help="batch*beam rows")
+    ap.add_argument("--k", type=int, default=256, help="hidden (reduction)")
+    ap.add_argument("--n", type=int, default=32000, help="vocab (output)")
+    ap.add_argument("--trials", type=int, default=5)
+    args = ap.parse_args()
+
+    from quantized_distillation_tpu.kernels import dequant_matmul, pack_linear
+    from quantized_distillation_tpu.utils.profiling import measure, roofline
+
+    m, k, n = args.m, args.k, args.n
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+
+    flops = 2.0 * m * k * n
+    out_bytes = 4.0 * m * n
+
+    results = []
+
+    def bench(name, body, weight_bytes):
+        t = measure(body, trials=args.trials)
+        r = roofline(name, t, flops, weight_bytes + out_bytes + 4.0 * m * k)
+        results.append(r)
+        print(r.line(), flush=True)
+
+    # Dense baselines. body threads the carry through x so the scan can't be
+    # hoisted (see utils.profiling docstring).
+    bench(
+        "dense f32",
+        lambda c: jnp.dot(x + c, w, preferred_element_type=jnp.float32)[0, 0],
+        4.0 * k * n,
+    )
+    bench(
+        "dense bf16",
+        lambda c: jnp.dot(
+            xb + c.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+        )[0, 0],
+        2.0 * k * n,
+    )
+    for bits in (8, 4, 2):
+        p = pack_linear(w, bits)
+        bench(
+            f"pallas int{bits}",
+            lambda c, p=p: dequant_matmul(
+                x + c, p, compute_dtype=jnp.bfloat16
+            )[0, 0],
+            k * n * bits / 8.0,
+        )
+    pts = jnp.linspace(0.0, 1.0, 16)
+    pc = pack_linear(w, 4, points=pts)
+    bench(
+        "pallas cb4",
+        lambda c: dequant_matmul(x + c, pc, compute_dtype=jnp.bfloat16)[0, 0],
+        k * n / 2.0,
+    )
+
+    base = results[0].seconds
+    print("\nspeedup vs dense f32:")
+    for r in results:
+        print(f"  {r.name}: {base / r.seconds:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

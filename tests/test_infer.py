@@ -1,0 +1,87 @@
+"""Packed inference engine tests: parity with the flax decode path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_distillation_tpu.config import BeamConfig
+from quantized_distillation_tpu.models import make_seq2seq
+from quantized_distillation_tpu.serve import beam_search
+from quantized_distillation_tpu.serve.infer import (
+    beam_search_packed,
+    encode_packed,
+    pack_decoder,
+    packed_decode_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = make_seq2seq(
+        "student_small", 50, 60, hidden=256, embed_dim=128, dropout=0.0,
+        num_layers=2,
+    )
+    src = jnp.asarray([[5, 6, 7, 8], [9, 10, 11, 0]], jnp.int32)
+    sl = jnp.asarray([4, 3], jnp.int32)
+    tgt = jnp.asarray([[1, 5], [1, 6]], jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), src, sl, tgt)
+    return m, v, src, sl
+
+
+class TestPackedDecoder:
+    def test_step_matches_flax_at_8bit(self, setup):
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        keys, enc_out, enc_mask, state = encode_packed(m, v, dec, src, sl)
+        tok = jnp.asarray([1, 1], jnp.int32)
+        _, logit_flax = m.apply(v, state, tok, enc_out, enc_mask, method=m.decode_step)
+        _, logit_packed = packed_decode_step(dec, state, tok, keys, enc_out, enc_mask)
+        rel = float(jnp.abs(logit_flax - logit_packed).max()) / float(
+            jnp.abs(logit_flax).max()
+        )
+        assert rel < 0.02  # 8-bit quantization noise only
+
+    def test_beam_matches_flax_at_8bit(self, setup):
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=3, max_len=8)
+        t1, _ = beam_search(m, v, src, sl, cfg)
+        t2, _ = beam_search_packed(m, v, dec, src, sl, cfg)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_4bit_runs_and_finite(self, setup):
+        m, v, src, sl = setup
+        dec = pack_decoder(v["params"], m.cfg, 4, use_pallas=False)
+        t, s = beam_search_packed(m, v, dec, src, sl, BeamConfig(beam_size=2, max_len=6))
+        assert np.isfinite(np.asarray(s)).all()
+        assert t.shape == (2, 6)
+
+    def test_codebook_pack(self, setup):
+        m, v, src, sl = setup
+        pts = jnp.linspace(0.0, 1.0, 16)
+        dec = pack_decoder(v["params"], m.cfg, 4, points=pts, use_pallas=False)
+        assert dec.generator.points is not None
+        t, s = beam_search_packed(m, v, dec, src, sl, BeamConfig(beam_size=2, max_len=6))
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_dot_attention_variant(self):
+        m = make_seq2seq(
+            "student_small", 30, 30, hidden=256, embed_dim=128, dropout=0.0,
+            attn_type="dot",
+        )
+        src = jnp.asarray([[5, 6, 7]], jnp.int32)
+        sl = jnp.asarray([3], jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), src, sl, jnp.asarray([[1, 5]], jnp.int32))
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        assert dec.attn_in is None
+        cfg = BeamConfig(beam_size=2, max_len=5)
+        t1, _ = beam_search(m, v, src, sl, cfg)
+        t2, _ = beam_search_packed(m, v, dec, src, sl, cfg)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

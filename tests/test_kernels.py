@@ -1,0 +1,121 @@
+"""Pallas kernel tests: interpret mode vs the jnp golden path
+(SURVEY.md §4 item 2 — tolerance ~0 for integer paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_distillation_tpu.kernels import (
+    dequant_matmul,
+    dequant_matmul_reference,
+    dequantize_linear,
+    pack_linear,
+    plane_unpack,
+)
+from quantized_distillation_tpu.kernels.packed import _plane_pack
+from quantized_distillation_tpu.ops import uniform
+
+BITS = [2, 4, 8]
+
+
+class TestPlanePacking:
+    @pytest.mark.parametrize("bits", BITS)
+    def test_roundtrip_exact(self, rng, bits):
+        levels = jnp.asarray(rng.integers(0, 2**bits, (16, 512)), jnp.int32)
+        packed = _plane_pack(levels, bits)
+        assert packed.dtype == jnp.uint8
+        assert packed.shape == (16, 512 * bits // 8)
+        np.testing.assert_array_equal(np.asarray(plane_unpack(packed, bits)), levels)
+
+    @pytest.mark.parametrize("bits", BITS)
+    def test_pack_linear_matches_ops_fake_quant(self, rng, bits):
+        # deployment dequant == training fake-quant (same bucket math) when
+        # N is a multiple of the bucket-group width
+        w = jnp.asarray(rng.standard_normal((32, 512)).astype(np.float32))
+        p = pack_linear(w, bits)
+        got = dequantize_linear(p)
+        want = uniform.fake_quant(w, bits)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def test_codebook_pack_roundtrip(self, rng):
+        w = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        pts = jnp.asarray(np.sort(rng.uniform(0, 1, 16)).astype(np.float32))
+        p = pack_linear(w, 4, points=pts)
+        from quantized_distillation_tpu.ops import codebook as cb
+
+        want = cb.fake_quant(w, pts)
+        np.testing.assert_allclose(
+            np.asarray(dequantize_linear(p)), np.asarray(want), atol=2e-6
+        )
+
+    def test_rejects_non_matrix(self):
+        with pytest.raises(ValueError):
+            pack_linear(jnp.zeros((2, 3, 4)), 4)
+
+
+class TestDequantMatmulInterpret:
+    @pytest.mark.parametrize("bits", BITS)
+    def test_uniform_matches_reference(self, rng, bits):
+        w = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((24, 64)).astype(np.float32))
+        p = pack_linear(w, bits)
+        ref = dequant_matmul_reference(x, p)
+        pal = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    @pytest.mark.parametrize("bits", [2, 4])
+    def test_codebook_matches_reference(self, rng, bits):
+        w = jnp.asarray(rng.standard_normal((64, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((24, 64)).astype(np.float32))
+        pts = jnp.asarray(np.sort(rng.uniform(0, 1, 2**bits)).astype(np.float32))
+        p = pack_linear(w, bits, points=pts)
+        ref = dequant_matmul_reference(x, p)
+        pal = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_ragged_n_with_bias(self, rng):
+        w = jnp.asarray(rng.standard_normal((64, 300)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+        bias = jnp.arange(300, dtype=jnp.float32)
+        p = pack_linear(w, 4, bias=bias)
+        ref = dequant_matmul_reference(x, p)
+        pal = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        assert pal.shape == (8, 300)
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_odd_m_padding(self, rng):
+        w = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        p = pack_linear(w, 4)
+        pal = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        assert pal.shape == (5, 256)
+        np.testing.assert_allclose(
+            np.asarray(pal),
+            np.asarray(dequant_matmul_reference(x, p)),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def test_k_mismatch_raises(self, rng):
+        p = pack_linear(jnp.zeros((64, 256)), 4)
+        with pytest.raises(ValueError):
+            dequant_matmul(jnp.zeros((4, 32)), p, interpret=True)
+
+    def test_fallback_path(self, rng):
+        w = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+        p = pack_linear(w, 4)
+        out = dequant_matmul(x, p, use_pallas=False, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(dequant_matmul_reference(x, p)),
+            rtol=1e-4,
+            atol=1e-5,
+        )
