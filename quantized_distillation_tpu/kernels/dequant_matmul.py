@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import BUCKET, PackedLinear, bucket_group as _group_of, dequantize_linear
+from .packed import BUCKET, PackedLinear, dequantize_linear
 
 
 def _dot_precision(compute_dtype):
@@ -50,7 +50,9 @@ def _unpack_bucket(pb: jnp.ndarray, bits: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1) if f > 1 else parts[0]
 
 
-def _uniform_kernel(x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, compute_dtype):
+def _uniform_kernel(
+    x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, group, compute_dtype
+):
     """One 256-column bucket: out = (x * s_j) @ levels + (x · o_j).
 
     Because every column n of bucket j shares the same per-row affine
@@ -61,10 +63,10 @@ def _uniform_kernel(x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, compute_dtype)
     index (dynamic lane indexing is not lowerable on TPU).
     """
     j = pl.program_id(0)
-    bg = _group_of(bits)
+    bg = group
     x = x_ref[:]
     bpb = BUCKET * bits // 8  # bytes per bucket
-    for b in range(bg):  # static unroll over the bucket group (int2: 2)
+    for b in range(bg):  # static unroll over the bucket group
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
         s_row = s_ref[pl.ds(j * bg + b, 1), :]  # [1, K]
         o_row = o_ref[pl.ds(j * bg + b, 1), :]  # [1, K]
@@ -80,25 +82,23 @@ def _uniform_kernel(x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, compute_dtype)
 
 
 def _codebook_kernel(
-    x_ref, w_ref, s_ref, o_ref, pts_ref, out_ref, *, bits, compute_dtype
+    x_ref, w_ref, s_ref, o_ref, pts_ref, out_ref, *, bits, group, compute_dtype
 ):
     """Codebook variant: levels index an SMEM LUT (select-accumulate — no
     general VMEM gather on TPU; 2^bits fully-vectorized VPU passes), then the
     same activation-side affine as the uniform kernel."""
     j = pl.program_id(0)
-    bg = _group_of(bits)
+    bg = group
     s = 1 << bits
     x = x_ref[:]
     bpb = BUCKET * bits // 8
     for b in range(bg):
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
-
-        def body(jj, acc):
-            return acc + jnp.where(levels == jj, pts_ref[jj], 0.0)
-
-        vals = jax.lax.fori_loop(
-            0, s, body, jnp.zeros(levels.shape, jnp.float32)
-        )
+        # static unroll (vs fori_loop): lets Mosaic software-pipeline the
+        # s compare+select passes instead of serializing loop iterations
+        vals = jnp.zeros(levels.shape, jnp.float32)
+        for jj in range(s):
+            vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
         s_row = s_ref[pl.ds(j * bg + b, 1), :]
         o_row = o_ref[pl.ds(j * bg + b, 1), :]
         xs = (x * s_row).astype(compute_dtype)
@@ -146,8 +146,10 @@ def dequant_matmul(
     mpad = -(-m // tm) * tm
     xp = jnp.pad(x, ((0, mpad - m), (0, 0))) if mpad != m else x
 
-    bg = _group_of(p.bits)
+    bg = p.group
     nb = npad // BUCKET
+    if nb % bg:
+        raise ValueError(f"buckets {nb} not divisible by group {bg}")
     grid = (nb // bg,)
     group_bytes = bg * BUCKET // f
     in_specs = [
@@ -159,7 +161,7 @@ def dequant_matmul(
     operands = [xp, p.packed, p.scale, p.offset]
     if p.points is not None:
         kernel = functools.partial(
-            _codebook_kernel, bits=p.bits, compute_dtype=compute_dtype
+            _codebook_kernel, bits=p.bits, group=bg, compute_dtype=compute_dtype
         )
         in_specs.append(
             pl.BlockSpec((1 << p.bits,), lambda j: (0,), memory_space=pltpu.SMEM)
@@ -167,7 +169,7 @@ def dequant_matmul(
         operands.append(p.points)
     else:
         kernel = functools.partial(
-            _uniform_kernel, bits=p.bits, compute_dtype=compute_dtype
+            _uniform_kernel, bits=p.bits, group=bg, compute_dtype=compute_dtype
         )
     flops = 2 * mpad * k * npad
     out = pl.pallas_call(

@@ -52,6 +52,7 @@ class PackedLinear(struct.PyTreeNode):
     offset: jnp.ndarray  # f32 [N // 256, K]
     bits: int = struct.field(pytree_node=False)
     shape: Tuple[int, int] = struct.field(pytree_node=False)  # logical (K, N)
+    group: int = struct.field(pytree_node=False, default=1)  # buckets/grid step
     points: Optional[jnp.ndarray] = None  # [2^bits] codebook (None = uniform)
     bias: Optional[jnp.ndarray] = None  # [N] f32
 
@@ -60,19 +61,30 @@ class PackedLinear(struct.PyTreeNode):
         return self.scale.shape[0] * BUCKET
 
 
-def bucket_group(bits: int) -> int:
+MAX_GROUP = 8
+
+
+def bucket_group(bits: int, n: Optional[int] = None) -> int:
     """Buckets processed per kernel grid step.
 
-    The packed-byte block's lane dim must be >= 128 on TPU; a 2-bit bucket is
-    only 64 bytes, so 2-bit kernels consume two buckets per step (and N pads
-    to 512 accordingly).
+    Two constraints drive the group size:
+    - the packed-byte block's lane dim must be >= 128 on TPU (a 2-bit bucket
+      is only 64 bytes → at least 2 buckets per step), and
+    - a [M,K]x[K,256] dot is MXU-*latency*-bound (measured: ~2us/step vs
+      0.2us of math) — grouping up to 8 buckets per step keeps the MXU
+      pipeline full while bounding padding waste for narrow matrices.
     """
-    return 2 if bits == 2 else 1
+    bpb = BUCKET * bits // 8
+    min_g = -(-128 // bpb)
+    if n is None:
+        return min_g
+    nb = -(-n // BUCKET)
+    return max(min_g, min(MAX_GROUP, nb))
 
 
 def _pad_cols(w: jnp.ndarray, bits: int) -> jnp.ndarray:
     k, n = w.shape
-    pad = (-n) % (BUCKET * bucket_group(bits))
+    pad = (-n) % (BUCKET * bucket_group(bits, n))
     if pad:
         # edge-pad so padding never widens a bucket's min/max range
         w = jnp.pad(w, ((0, 0), (0, pad)), mode="edge")
@@ -109,16 +121,46 @@ def pack_linear(
     scaling: str = LINEAR,
     points: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
+    lut_mode: str = "exact",
 ) -> PackedLinear:
     """Quantize + pack a [K, N] weight matrix for serving.
 
     With ``points`` given, levels are nearest-codebook indices and the LUT is
     stored; otherwise levels are the uniform grid (dequant factor folded into
     ``scale``).
+
+    ``lut_mode`` (codebook only):
+    - ``"exact"``: store raw indices + the LUT; the kernel pays 2^bits
+      select-accumulate passes per tile (measured ~6x slower than uniform).
+    - ``"requant8"``: snap the codebook *values* onto the uniform 8-bit grid
+      and ship as a uniform int8 matrix — adds at most 1/510 of the bucket
+      range of extra error (far below 2/4-bit point spacing), costs 2-4x the
+      HBM bytes of the index form, and runs at full uniform-kernel speed.
+      The Huffman size accounting still uses the true index stream.
     """
     if w.ndim != 2:
         raise ValueError(f"pack_linear expects a matrix, got shape {w.shape}")
     k, n = w.shape
+    if points is not None and lut_mode == "requant8":
+        wp = _pad_cols(w, 8)
+        buckets = wp.reshape(k * wp.shape[1] // BUCKET, BUCKET)
+        sp = compute_scale(buckets, scaling)
+        x01 = (buckets - sp.offset) / sp.scale
+        idx = nearest_point_idx(x01, jax.lax.stop_gradient(points))
+        vals01 = jnp.clip(points[idx], 0.0, 1.0)
+        levels = quantize_levels_01(vals01, 8)
+        scale_eff = sp.scale / 255.0
+        nb = wp.shape[1] // BUCKET
+        return PackedLinear(
+            packed=_plane_pack(levels.reshape(k, wp.shape[1]), 8),
+            scale=scale_eff.reshape(k, nb).T,
+            offset=sp.offset.reshape(k, nb).T,
+            bits=8,
+            shape=(k, n),
+            group=bucket_group(8, n),
+            points=None,
+            bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        )
     wp = _pad_cols(w, bits)
     buckets = wp.reshape(k * wp.shape[1] // BUCKET, BUCKET)
     sp = compute_scale(buckets, scaling)
@@ -136,6 +178,7 @@ def pack_linear(
         offset=sp.offset.reshape(k, nb).T,
         bits=bits,
         shape=(k, n),
+        group=bucket_group(bits, n),
         points=None if points is None else jnp.asarray(points, jnp.float32),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
     )

@@ -72,7 +72,12 @@ def step_beams(
     eos_id: int = EOS,
     pad_id: int = PAD,
 ) -> BeamState:
-    """Advance every sentence's beams one step (the compiled Beam.advance)."""
+    """Advance every sentence's beams one step (the compiled Beam.advance).
+
+    ``t`` is the emit position — a scalar for lockstep (offline) decoding, or
+    a per-sentence ``[B]`` vector for the continuous-batching engine, where
+    every slot sits at its own depth.
+    """
     b, k = state.scores.shape
     new_dec, logits = decode_step(state.decoder_state, _flatten_beams(state.last_token))
     v = logits.shape[-1]
@@ -92,7 +97,15 @@ def step_beams(
     tokens = gather(state.tokens, parent)
     finished = gather(state.finished, parent)
     lengths = gather(state.lengths, parent)
-    tokens = tokens.at[:, :, t].set(jnp.where(finished, pad_id, token))
+    emit = jnp.where(finished, pad_id, token)
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        tokens = tokens.at[:, :, t].set(emit)
+    else:
+        # per-slot positions: one-hot masked write over the time axis
+        t_max = tokens.shape[2]
+        pos = jnp.arange(t_max)[None, None, :] == t[:, None, None]  # [B,1,T]
+        tokens = jnp.where(pos, emit[:, :, None], tokens)
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(

@@ -78,27 +78,36 @@ def pack_decoder(
     *,
     scaling: str = "linear",
     points: Optional[jnp.ndarray] = None,
+    lut_mode: str = "requant8",
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = True,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 
     ``points`` (optional, [2^bits] in the scaled domain) switches every packed
-    matrix to learned-codebook dequant (differentiable-quantization deploys).
+    matrix to learned-codebook dequant (differentiable-quantization deploys);
+    ``lut_mode="requant8"`` (default) ships codebook values re-quantized onto
+    the uniform int8 grid for uniform-kernel speed (see pack_linear).
     """
     dec = params["decoder"]
     cells = []
     for i in range(cfg.num_layers):
         w, b = _fuse_cell(dec[f"lstm_{i}"])
         cells.append(
-            PackedLSTMCell(w=pack_linear(w, bits, scaling=scaling, points=points), bias=b)
+            PackedLSTMCell(
+                w=pack_linear(
+                    w, bits, scaling=scaling, points=points, lut_mode=lut_mode
+                ),
+                bias=b,
+            )
         )
     attn = dec["attn"]
     attn_in = None
     if cfg.attn_type == "general":
         attn_in = attn["linear_in"]["kernel"].astype(compute_dtype)
     attn_out = pack_linear(
-        attn["linear_out"]["kernel"], bits, scaling=scaling, points=points
+        attn["linear_out"]["kernel"], bits, scaling=scaling, points=points,
+        lut_mode=lut_mode,
     )
     generator = pack_linear(
         params["generator"]["kernel"],
@@ -106,6 +115,7 @@ def pack_decoder(
         scaling=scaling,
         points=points,
         bias=params["generator"]["bias"],
+        lut_mode=lut_mode,
     )
     return PackedDecoder(
         tgt_embed=params["tgt_embed"]["embedding"].astype(compute_dtype),

@@ -50,8 +50,8 @@ def detect_chip() -> str:
 def measure(
     body: Callable[[jnp.ndarray], jnp.ndarray],
     *,
-    iters_lo: int = 8,
-    iters_hi: int = 40,
+    iters_lo: int = 100,
+    iters_hi: int = 1100,
     trials: int = 5,
 ) -> float:
     """Seconds per iteration of ``body``.
@@ -62,18 +62,24 @@ def measure(
     hoisted. Returns the median two-point estimate.
     """
 
-    def run(iters):
-        def scan_body(c, _):
-            return body(c), None
+    # One compiled program serves both iteration counts (runtime while_loop
+    # bound) — compiles cost ~50s each through the remote-compile hook.
+    @jax.jit
+    def g(n):
+        def cond(s):
+            return s[0] < n
 
-        g = jax.jit(
-            lambda: jax.lax.scan(scan_body, jnp.float32(0.0), None, length=iters)[0]
-        )
-        float(g())  # compile + warm
+        def step(s):
+            return (s[0] + 1, body(s[1]))
+
+        return jax.lax.while_loop(cond, step, (jnp.int32(0), jnp.float32(0.0)))[1]
+
+    def run(iters):
+        float(g(iters))  # compile (first call) + warm
         samples = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(g())
+            float(g(iters))
             samples.append(time.perf_counter() - t0)
         return samples
 

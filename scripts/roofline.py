@@ -47,34 +47,41 @@ def main():
         results.append(r)
         print(r.line(), flush=True)
 
-    # Dense baselines. body threads the carry through x so the scan can't be
-    # hoisted (see utils.profiling docstring).
+    # Dense baselines. The body threads the carry through x (no loop
+    # hoisting) and SUMS the whole output (reading one element lets XLA DCE
+    # the matmul down to a dot product — observed: "2100 TFLOP/s").
     bench(
         "dense f32",
-        lambda c: jnp.dot(x + c, w, preferred_element_type=jnp.float32)[0, 0],
+        lambda c: jnp.sum(jnp.dot(x + c, w, preferred_element_type=jnp.float32))
+        * 1e-9,
         4.0 * k * n,
     )
     bench(
         "dense bf16",
-        lambda c: jnp.dot(
-            xb + c.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
-        )[0, 0],
+        lambda c: jnp.sum(
+            jnp.dot(
+                xb + c.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+            )
+        )
+        * 1e-9,
         2.0 * k * n,
     )
     for bits in (8, 4, 2):
         p = pack_linear(w, bits)
         bench(
             f"pallas int{bits}",
-            lambda c, p=p: dequant_matmul(
-                x + c, p, compute_dtype=jnp.bfloat16
-            )[0, 0],
+            lambda c, p=p: jnp.sum(
+                dequant_matmul(x + c, p, compute_dtype=jnp.bfloat16)
+            )
+            * 1e-9,
             k * n * bits / 8.0,
         )
     pts = jnp.linspace(0.0, 1.0, 16)
     pc = pack_linear(w, 4, points=pts)
     bench(
         "pallas cb4",
-        lambda c: dequant_matmul(x + c, pc, compute_dtype=jnp.bfloat16)[0, 0],
+        lambda c: jnp.sum(dequant_matmul(x + c, pc, compute_dtype=jnp.bfloat16))
+        * 1e-9,
         k * n / 2.0,
     )
 

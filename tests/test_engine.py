@@ -1,0 +1,112 @@
+"""Continuous-batching engine tests.
+
+The load-bearing property (SURVEY.md §7 hard part 2): slot-based continuous
+batching must produce EXACTLY the same translations as offline batch beam
+search, for any arrival pattern.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_distillation_tpu.config import BeamConfig, ServeConfig
+from quantized_distillation_tpu.models import make_seq2seq
+from quantized_distillation_tpu.serve import beam_search
+from quantized_distillation_tpu.serve.engine import TranslationEngine
+from quantized_distillation_tpu.serve.infer import pack_decoder
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = make_seq2seq("student_small", 40, 50, hidden=64, embed_dim=32, dropout=0.0)
+    rng = np.random.default_rng(0)
+    sents = [list(rng.integers(4, 40, rng.integers(3, 9))) for _ in range(11)]
+    src_pad = np.zeros((len(sents), 16), np.int32)
+    for i, s in enumerate(sents):
+        src_pad[i, : len(s)] = s
+    slen = np.asarray([len(s) for s in sents], np.int32)
+    v = m.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(src_pad),
+        jnp.asarray(slen),
+        jnp.ones((len(sents), 2), jnp.int32),
+    )
+    ref, _ = beam_search(
+        m, v, jnp.asarray(src_pad), jnp.asarray(slen),
+        BeamConfig(beam_size=3, max_len=12),
+    )
+    return m, v, sents, np.asarray(ref)
+
+
+def _cfg(slots):
+    return ServeConfig(
+        max_slots=slots, max_src_len=16, max_tgt_len=12,
+        beam=BeamConfig(beam_size=3, max_len=12),
+    )
+
+
+class TestEngineEquivalence:
+    def test_all_submitted_upfront(self, setup):
+        m, v, sents, ref = setup
+        eng = TranslationEngine(m, v, _cfg(4))
+        rids = [eng.submit(s) for s in sents]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        assert len(res) == len(sents)
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
+    def test_staggered_arrivals(self, setup):
+        # new requests arrive while other slots are mid-decode
+        m, v, sents, ref = setup
+        eng = TranslationEngine(m, v, _cfg(3))
+        rids = {}
+        res = {}
+        arrival = {0: [0, 1], 2: [2], 5: [3, 4, 5], 7: [6, 7, 8, 9, 10]}
+        step = 0
+        while len(res) < len(sents):
+            for i in arrival.get(step, []):
+                rids[eng.submit(sents[i])] = i
+            for c in eng.step():
+                res[c.request_id] = c
+            step += 1
+            assert step < 200
+        for rid, i in rids.items():
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
+    def test_single_slot_serializes(self, setup):
+        m, v, sents, ref = setup
+        eng = TranslationEngine(m, v, _cfg(1))
+        rids = [eng.submit(s) for s in sents[:3]]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
+    def test_empty_step_is_noop(self, setup):
+        m, v, _, _ = setup
+        eng = TranslationEngine(m, v, _cfg(2))
+        assert eng.step() == []
+        assert eng.steps_run == 0
+
+    def test_packed_decoder_drive(self, setup):
+        # engine over the packed inference path decodes like the flax path
+        m, v, sents, ref = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        eng = TranslationEngine(m, v, _cfg(4), packed_decoder=dec)
+        rids = [eng.submit(s) for s in sents[:6]]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        matches = sum(
+            (res[rid].tokens == ref[i]).all() for i, rid in enumerate(rids)
+        )
+        assert matches >= 5  # 8-bit quant noise may flip a rare tie
+
+    def test_throughput_counters(self, setup):
+        m, v, sents, _ = setup
+        eng = TranslationEngine(m, v, _cfg(4))
+        for s in sents[:4]:
+            eng.submit(s)
+        eng.run_until_drained()
+        assert eng.steps_run == 12  # all four decode to max_tgt_len in lockstep
+        assert eng.tokens_emitted == 4 * 12

@@ -61,13 +61,33 @@ class TestPackedDecoder:
         assert np.isfinite(np.asarray(s)).all()
         assert t.shape == (2, 6)
 
-    def test_codebook_pack(self, setup):
+    def test_codebook_pack_exact(self, setup):
         m, v, src, sl = setup
         pts = jnp.linspace(0.0, 1.0, 16)
-        dec = pack_decoder(v["params"], m.cfg, 4, points=pts, use_pallas=False)
+        dec = pack_decoder(
+            v["params"], m.cfg, 4, points=pts, lut_mode="exact", use_pallas=False
+        )
         assert dec.generator.points is not None
         t, s = beam_search_packed(m, v, dec, src, sl, BeamConfig(beam_size=2, max_len=6))
         assert np.isfinite(np.asarray(s)).all()
+
+    def test_codebook_requant8_matches_exact(self, setup):
+        # the int8-regrid deployment of a codebook must decode like the LUT
+        m, v, src, sl = setup
+        pts = jnp.linspace(0.0, 1.0, 16)
+        cfg = BeamConfig(beam_size=2, max_len=6)
+        d_exact = pack_decoder(
+            v["params"], m.cfg, 4, points=pts, lut_mode="exact",
+            compute_dtype=jnp.float32, use_pallas=False,
+        )
+        d_rq = pack_decoder(
+            v["params"], m.cfg, 4, points=pts, lut_mode="requant8",
+            compute_dtype=jnp.float32, use_pallas=False,
+        )
+        assert d_rq.generator.points is None and d_rq.generator.bits == 8
+        t1, _ = beam_search_packed(m, v, d_exact, src, sl, cfg)
+        t2, _ = beam_search_packed(m, v, d_rq, src, sl, cfg)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
     def test_dot_attention_variant(self):
         m = make_seq2seq(
