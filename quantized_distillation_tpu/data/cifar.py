@@ -78,17 +78,22 @@ def _try_load_cifar100(data_dir: str, train: bool) -> Optional[Tuple[np.ndarray,
 
 
 def _synthetic(
-    num_classes: int, n: int, seed: int
+    num_classes: int, n: int, seed: int, sample_seed: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Learnable synthetic images: class-specific low-frequency template +
-    noise. A small CNN separates them but not trivially (noise σ ≈ signal)."""
-    rng = np.random.default_rng(seed)
-    labels = rng.integers(0, num_classes, n).astype(np.int32)
-    # class templates: smooth random fields
-    freq = rng.standard_normal((num_classes, 8, 8, 3)).astype(np.float32)
+    noise. A small CNN separates them but not trivially (noise σ ≈ signal).
+
+    The class templates depend only on (num_classes, seed) — train and test
+    splits describe the SAME classification task; only the samples/noise
+    (``sample_seed``) differ.
+    """
+    trng = np.random.default_rng((seed, num_classes, 777))
+    freq = trng.standard_normal((num_classes, 8, 8, 3)).astype(np.float32)
     templates = np.stack(
         [np.kron(f, np.ones((4, 4, 1), np.float32)) for f in freq]
     )  # [C,32,32,3]
+    rng = np.random.default_rng(sample_seed)
+    labels = rng.integers(0, num_classes, n).astype(np.int32)
     images = templates[labels] + 1.0 * rng.standard_normal(
         (n, 32, 32, 3)
     ).astype(np.float32)
@@ -111,7 +116,7 @@ def load_cifar(
         x, y = raw
         return ImageDataset(_normalize(x, mean, std), y, num_classes, "disk")
     n = synthetic_size or (50000 if train else 10000)
-    x, y = _synthetic(num_classes, n, seed + (0 if train else 1))
+    x, y = _synthetic(num_classes, n, seed, seed * 2 + (0 if train else 1))
     return ImageDataset(x, y, num_classes, "synthetic")
 
 

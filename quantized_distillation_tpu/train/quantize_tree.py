@@ -60,12 +60,17 @@ def map_quantizable(
 
 
 def ste_quantize_tree(
-    params: PyTree, spec: QuantSpec, key: Optional[jax.Array] = None
+    params: PyTree,
+    spec: QuantSpec,
+    key: Optional[jax.Array] = None,
+    bits_map: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """Uniform fake-quant every quantizable leaf, straight-through gradient.
 
     With stochastic rounding each leaf gets an independent key (folded from
     a per-leaf counter) so rounding noise is uncorrelated across tensors.
+    ``bits_map`` (path → bits, from :mod:`.bits`) overrides ``spec.bits``
+    per leaf for mixed-precision assignments.
     """
     counter = [0]
 
@@ -78,7 +83,7 @@ def ste_quantize_tree(
             counter[0] += 1
         return uniform.ste_fake_quant(
             leaf,
-            spec.bits,
+            bits_map.get(path, spec.bits) if bits_map else spec.bits,
             bucket_size=spec.bucket_size,
             scaling=spec.scaling,
             stochastic=spec.stochastic,
@@ -141,6 +146,7 @@ def quantize_tree_hard(
     params: PyTree,
     spec: QuantSpec,
     codebooks: Optional[Dict[str, jnp.ndarray]] = None,
+    bits_map: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """Non-STE quantize-dequantize (deployment values, no gradient path)."""
     if spec.method == "codebook":
@@ -155,7 +161,10 @@ def quantize_tree_hard(
         )
     return map_quantizable(
         lambda p, w: uniform.fake_quant(
-            w, spec.bits, bucket_size=spec.bucket_size, scaling=spec.scaling
+            w,
+            bits_map.get(p, spec.bits) if bits_map else spec.bits,
+            bucket_size=spec.bucket_size,
+            scaling=spec.scaling,
         ),
         params,
         spec,

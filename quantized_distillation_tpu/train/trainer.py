@@ -146,13 +146,14 @@ def quantized_params(
     quant: Optional[QuantSpec],
     codebooks: Optional[Dict[str, jnp.ndarray]],
     key: Optional[jax.Array],
+    bits_map: Optional[Dict[str, int]] = None,
 ) -> PyTree:
     """STE fake-quant view of the parameters (identity when quant is None)."""
     if quant is None:
         return params
     if quant.method == "codebook":
         return qt.ste_codebook_tree(params, codebooks, quant)
-    return qt.ste_quantize_tree(params, quant, key)
+    return qt.ste_quantize_tree(params, quant, key, bits_map)
 
 
 def make_train_step(
@@ -163,8 +164,13 @@ def make_train_step(
     distill: Optional[DistillSpec] = None,
     mode: str = "weights",
     donate: bool = True,
+    bits_map: Optional[Dict[str, int]] = None,
 ):
-    """Build the compiled train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the compiled train step: (state, batch, rng) -> (state, metrics).
+
+    ``bits_map`` (from :mod:`.bits`) gives per-layer bit-widths for
+    mixed-precision quantized training.
+    """
 
     def step_fn(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -175,7 +181,7 @@ def make_train_step(
             params = tmp.params if mode != "codebooks" else jax.lax.stop_gradient(
                 tmp.params
             )
-            q_params = quantized_params(params, quant, tmp.codebooks, q_rng)
+            q_params = quantized_params(params, quant, tmp.codebooks, q_rng, bits_map)
             variables = {"params": q_params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
@@ -215,6 +221,7 @@ def make_eval_step(
     *,
     quant: Optional[QuantSpec] = None,
     quantized_eval: bool = True,
+    bits_map: Optional[Dict[str, int]] = None,
 ):
     """Eval step on deployment (hard-quantized) weights, as the reference
     evaluates the quantized model, not the FP master copy."""
@@ -222,7 +229,7 @@ def make_eval_step(
     def eval_fn(state: TrainState, batch: Batch):
         params = state.params
         if quant is not None and quantized_eval:
-            params = qt.quantize_tree_hard(params, quant, state.codebooks)
+            params = qt.quantize_tree_hard(params, quant, state.codebooks, bits_map)
         variables = {"params": params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
