@@ -6,11 +6,14 @@ dequant fused into the matmuls).
 """
 
 from .dequant_matmul import dequant_matmul, dequant_matmul_reference
+from .topk_fused import dequant_matmul_topk, dequant_matmul_topk_reference
 from .packed import BUCKET, PackedLinear, dequantize_linear, pack_linear, plane_unpack
 
 __all__ = [
     "dequant_matmul",
     "dequant_matmul_reference",
+    "dequant_matmul_topk",
+    "dequant_matmul_topk_reference",
     "BUCKET",
     "PackedLinear",
     "dequantize_linear",

@@ -1,0 +1,305 @@
+"""Fused dequant+matmul+top-k+logsumexp Pallas kernel for the generator.
+
+The vocab projection dominates every beam-decode step: with the reference's
+WMT13 setup (onmt generator Linear→softmax over ~32k target words, the
+``onmt/Translator.py`` hot loop), a [B*K, V] float32 logits tensor is
+materialized in HBM, re-read by log_softmax, and re-read again by top-k —
+measured on v5e that bookkeeping costs 2-3x the *entire* rest of the decode
+step. This kernel computes ``x @ dequant(W) + bias`` tile by tile and reduces
+each tile **in VMEM** to the per-row statistics beam search actually needs:
+
+- the top-k logits and their vocab indices (k = beam width, <= 8), and
+- the row logsumexp (so callers get exact ``log_softmax = logit - lse``),
+
+so the [M, V] logits never touch HBM: traffic per step drops from
+``~3 * 4*M*V`` bytes to just the packed INT2/4/8 weight bytes.
+
+Top-k selection is *lane-bucketed streaming top-2*: vocab column ``c``
+belongs to class ``c % 128`` (the TPU lane it lands on) and the kernel keeps
+the two largest entries per class in VMEM scratch, merged across all tiles,
+then pops the global top-k from the [M, 256] survivors at the last grid
+step. This is exact unless >= 3 of the true top-k land in one lane class
+(P ≈ (k choose 3)/128² < 0.1% per row at k=5); the row maximum is ALWAYS
+exact, so greedy decode is exact. ``jax.lax.approx_max_k`` makes the same
+bounded-recall trade on TPU — here it rides inside the matmul for free.
+Logsumexp uses per-lane streaming max/sum-of-exp (flash-attention style)
+merged across lanes at the end, and is exact to f32 rounding.
+
+``dequant_matmul_topk_reference`` is the exact jnp golden model (dense
+dequant → matmul → lax.top_k) used for tests and as the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dequant_matmul import _dot_precision, _unpack_bucket
+from .packed import BUCKET, PackedLinear, dequantize_linear
+
+LANES = 128
+KMAX = 8
+NEG = -1e30
+
+
+def _topk_kernel(
+    x_ref,
+    w_ref,
+    st_ref,
+    ot_ref,
+    bias_ref,
+    pts_ref,  # None when uniform (bound via partial)
+    out_v,
+    out_i,
+    out_lse,
+    acc,
+    v1_s,
+    i1_s,
+    v2_s,
+    i2_s,
+    se_s,
+    *,
+    bits,
+    group,
+    compute_dtype,
+    n_true,
+    k,
+    n_steps,
+):
+    """Inputs per grid step j:
+
+    - ``x_ref`` [M, K] activations (f32),
+    - ``st_ref``/``ot_ref`` [nb, K] per-bucket scale/offset, read with a
+      dynamic *sublane* index (same trick as _uniform_kernel: the affine
+      folds into the activations; hoisting the offset term out as a padded
+      XLA matmul was tried and measured SLOWER — the extra [M, 128]-per-step
+      HBM reads cost more than the in-kernel lane reduction).
+    """
+    j = pl.program_id(0)
+    m = x_ref.shape[0]
+    c = group * BUCKET
+    bpb = BUCKET * bits // 8
+
+    @pl.when(j == 0)
+    def _init():
+        v1_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
+        v2_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
+        i1_s[:] = jnp.zeros((m, LANES), jnp.int32)
+        i2_s[:] = jnp.zeros((m, LANES), jnp.int32)
+        se_s[:] = jnp.zeros((m, LANES), jnp.float32)
+
+    # ---- 1. logits tile: fused dequant matmul
+    x = x_ref[:]
+    for b in range(group):
+        levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
+        if pts_ref is not None:
+            vals = jnp.zeros(levels.shape, jnp.float32)
+            for jj in range(1 << bits):
+                vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
+        else:
+            vals = levels
+        s_row = st_ref[pl.ds(j * group + b, 1), :]  # [1, K]
+        o_row = ot_ref[pl.ds(j * group + b, 1), :]  # [1, K]
+        xs = (x * s_row).astype(compute_dtype)
+        dot = jnp.dot(
+            xs,
+            vals.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(compute_dtype),
+        )
+        acc[:, b * BUCKET : (b + 1) * BUCKET] = dot + jnp.sum(
+            x * o_row, axis=1, keepdims=True
+        )
+    tile = acc[:] + bias_ref[:]
+    # mask grid padding (edge-padded duplicate columns must not win top-k
+    # or inflate the logsumexp)
+    col0 = j * c
+    col_in_tile = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
+    tile = jnp.where(col_in_tile + col0 < n_true, tile, NEG)
+
+    # ---- 2. streaming per-lane-class top-2 + logsumexp over 128-lane chunks
+    v1, i1 = v1_s[:], i1_s[:]
+    v2, i2 = v2_s[:], i2_s[:]
+    se = se_s[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
+    for t in range(c // LANES):
+        v = tile[:, t * LANES : (t + 1) * LANES]
+        idx = lane + (col0 + t * LANES)
+        upd = v > v1
+        # the loser of the max fight challenges slot 2
+        dv = jnp.where(upd, v1, v)
+        di = jnp.where(upd, i1, idx)
+        v1n = jnp.where(upd, v, v1)
+        i1n = jnp.where(upd, idx, i1)
+        upd2 = dv > v2
+        v2 = jnp.where(upd2, dv, v2)
+        i2 = jnp.where(upd2, di, i2)
+        # per-lane streaming sum of exp relative to the (new) lane max.
+        # dv - v1n = (loser - winner), so ONE exp covers both branches:
+        #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
+        #   !upd:  se*exp(0)                + exp(v - max) = se + e
+        e = jnp.exp(dv - v1n)
+        se = jnp.where(upd, se * e + 1.0, se + e)
+        v1, i1 = v1n, i1n
+    v1_s[:], i1_s[:] = v1, i1
+    v2_s[:], i2_s[:] = v2, i2
+    se_s[:] = se
+
+    # ---- 3. last step: pop global top-k from the [M, 256] survivors
+    @pl.when(j == n_steps - 1)
+    def _finalize():
+        cand = jnp.concatenate([v1, v2], axis=1)  # [M, 256]
+        cidx = jnp.concatenate([i1, i2], axis=1)
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * LANES), 1)
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
+        buf_v = jnp.full((m, LANES), NEG, jnp.float32)
+        buf_i = jnp.zeros((m, LANES), jnp.int32)
+        for t in range(k):
+            mx = jnp.max(cand, axis=1, keepdims=True)  # [M, 1]
+            pos = jnp.min(
+                jnp.where(cand == mx, pos_iota, 2 * LANES), axis=1, keepdims=True
+            )
+            sel = pos_iota == pos
+            idx_t = jnp.sum(jnp.where(sel, cidx, 0), axis=1, keepdims=True)
+            buf_v = jnp.where(out_lane == t, mx, buf_v)
+            buf_i = jnp.where(out_lane == t, idx_t, buf_i)
+            cand = jnp.where(sel, NEG, cand)
+        out_v[:] = buf_v
+        out_i[:] = buf_i
+        # exact lse: per-lane (max, sumexp) -> row
+        row_m = jnp.max(v1, axis=1, keepdims=True)  # [M, 1]
+        total = jnp.sum(se * jnp.exp(v1 - row_m), axis=1, keepdims=True)
+        out_lse[:] = jnp.broadcast_to(row_m + jnp.log(total), (m, LANES))
+
+
+def _sublane(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "compute_dtype", "interpret", "use_pallas")
+)
+def dequant_matmul_topk(
+    x: jnp.ndarray,
+    p: PackedLinear,
+    k: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
+    indices [M, k] i32, logsumexp [M, 1] f32) without materializing logits.
+
+    ``k <= 8``. Falls back to the exact jnp reference when ``use_pallas`` is
+    False (CPU path).
+    """
+    if k > KMAX:
+        raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
+    if not use_pallas:
+        return dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
+    m, kk = x.shape
+    if kk != p.shape[0]:
+        raise ValueError(f"x K={kk} vs packed K={p.shape[0]}")
+    npad = p.n_padded
+    n_true = p.shape[1]
+    f = 8 // p.bits
+    tm = _sublane(jnp.float32)
+    mpad = -(-m // tm) * tm
+    xp = jnp.pad(x, ((0, mpad - m), (0, 0))) if mpad != m else x
+    bias = p.bias if p.bias is not None else jnp.zeros((n_true,), jnp.float32)
+    bias_pad = jnp.pad(bias.astype(jnp.float32), (0, npad - n_true))[None, :]
+
+    bg = p.group
+    nb = npad // BUCKET
+    if nb % bg:
+        raise ValueError(f"buckets {nb} not divisible by group {bg}")
+    n_steps = nb // bg
+    c = bg * BUCKET
+    group_bytes = c // f
+    in_specs = [
+        pl.BlockSpec((mpad, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kk, group_bytes), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, p.packed, p.scale, p.offset, bias_pad]
+    static_kw = dict(
+        bits=p.bits,
+        group=bg,
+        compute_dtype=compute_dtype,
+        n_true=n_true,
+        k=k,
+        n_steps=n_steps,
+    )
+    if p.points is not None:
+        # pts_ref arrives as the 6th input ref, matching _topk_kernel's slot
+        in_specs.append(
+            pl.BlockSpec((1 << p.bits,), lambda j: (0,), memory_space=pltpu.SMEM)
+        )
+        operands.append(p.points)
+        kernel = functools.partial(_topk_kernel, **static_kw)
+    else:
+        kernel = functools.partial(_with_none_points, **static_kw)
+    out_shape = [
+        jax.ShapeDtypeStruct((mpad, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((mpad, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((mpad, LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((mpad, LANES), lambda j: (0, 0), memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    scratch = [
+        pltpu.VMEM((mpad, c), jnp.float32),  # logits tile
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # v1
+        pltpu.VMEM((mpad, LANES), jnp.int32),  # i1
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # v2
+        pltpu.VMEM((mpad, LANES), jnp.int32),  # i2
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
+    ]
+    flops = 2 * mpad * kk * npad
+    vals, idx, lse = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xp.size * 4 + p.packed.size + 8 * p.scale.size,
+            transcendentals=mpad * npad,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return vals[:m, :k], idx[:m, :k], lse[:m, :1]
+
+
+def _with_none_points(x_ref, w_ref, s_ref, o_ref, bias_ref, *rest, **kw):
+    _topk_kernel(x_ref, w_ref, s_ref, o_ref, bias_ref, None, *rest, **kw)
+
+
+def dequant_matmul_topk_reference(
+    x: jnp.ndarray,
+    p: PackedLinear,
+    k: int,
+    *,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact golden path: dense dequant → matmul → lax.top_k + logsumexp."""
+    w = dequantize_linear(p, dtype=compute_dtype)
+    logits = jnp.dot(
+        x.astype(compute_dtype), w, preferred_element_type=jnp.float32
+    )
+    if p.bias is not None:
+        logits = logits + p.bias
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    return vals, idx.astype(jnp.int32), lse

@@ -11,6 +11,7 @@ from .beam import (
     greedy_decode,
     length_penalty,
     step_beams,
+    step_beams_cand,
     tokens_to_sentences,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "greedy_decode",
     "length_penalty",
     "step_beams",
+    "step_beams_cand",
     "tokens_to_sentences",
 ]

@@ -63,6 +63,45 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
 
 
+def _advance(
+    state: BeamState,
+    new_dec: PyTree,
+    new_scores: jnp.ndarray,  # [B, K]
+    parent: jnp.ndarray,  # [B, K]
+    token: jnp.ndarray,  # [B, K]
+    t: jnp.ndarray,
+    *,
+    eos_id: int,
+    pad_id: int,
+) -> BeamState:
+    """Shared beam-advance tail: reorder by parent, emit, track EOS/length."""
+    b, k = state.scores.shape
+    new_dec = _gather_beams(new_dec, parent, b, k)
+    gather = jax.vmap(lambda a, i: a[i])
+    tokens = gather(state.tokens, parent)
+    finished = gather(state.finished, parent)
+    lengths = gather(state.lengths, parent)
+    emit = jnp.where(finished, pad_id, token)
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        tokens = tokens.at[:, :, t].set(emit)
+    else:
+        # per-slot positions: one-hot masked write over the time axis
+        t_max = tokens.shape[2]
+        pos = jnp.arange(t_max)[None, None, :] == t[:, None, None]  # [B,1,T]
+        tokens = jnp.where(pos, emit[:, :, None], tokens)
+    lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
+    finished = finished | (token == eos_id)
+    return BeamState(
+        decoder_state=new_dec,
+        tokens=tokens,
+        last_token=token,
+        scores=new_scores,
+        finished=finished,
+        lengths=lengths,
+    )
+
+
 def step_beams(
     decode_step: Callable[[PyTree, jnp.ndarray], Tuple[PyTree, jnp.ndarray]],
     state: BeamState,
@@ -91,30 +130,53 @@ def step_beams(
     new_scores, flat_idx = jax.lax.top_k(flat, beam_size)  # [B, K]
     parent = flat_idx // v
     token = flat_idx % v
-    # Reorder everything by parent.
-    new_dec = _gather_beams(new_dec, parent, b, k)
-    gather = jax.vmap(lambda a, i: a[i])
-    tokens = gather(state.tokens, parent)
-    finished = gather(state.finished, parent)
-    lengths = gather(state.lengths, parent)
-    emit = jnp.where(finished, pad_id, token)
-    t = jnp.asarray(t)
-    if t.ndim == 0:
-        tokens = tokens.at[:, :, t].set(emit)
-    else:
-        # per-slot positions: one-hot masked write over the time axis
-        t_max = tokens.shape[2]
-        pos = jnp.arange(t_max)[None, None, :] == t[:, None, None]  # [B,1,T]
-        tokens = jnp.where(pos, emit[:, :, None], tokens)
-    lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
-    finished = finished | (token == eos_id)
-    return BeamState(
-        decoder_state=new_dec,
-        tokens=tokens,
-        last_token=token,
-        scores=new_scores,
-        finished=finished,
-        lengths=lengths,
+    return _advance(
+        state, new_dec, new_scores, parent, token, t, eos_id=eos_id, pad_id=pad_id
+    )
+
+
+def step_beams_cand(
+    decode_cand: Callable[
+        [PyTree, jnp.ndarray],
+        Tuple[PyTree, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    ],
+    state: BeamState,
+    t: jnp.ndarray,
+    *,
+    beam_size: int,
+    eos_id: int = EOS,
+    pad_id: int = PAD,
+) -> BeamState:
+    """Beam advance from per-beam top-k CANDIDATES instead of full logits.
+
+    ``decode_cand(state, tokens [B*K]) -> (state, (vals [B*K, kc],
+    idx [B*K, kc], lse [B*K, 1]))`` — the contract of the fused
+    dequant+matmul+top-k kernel (:func:`..kernels.dequant_matmul_topk`),
+    which never materializes the [B*K, V] logits. Mathematically equivalent
+    to :func:`step_beams` whenever kc >= beam_size: at most ``beam_size``
+    winners can come from any single parent beam, so the per-beam top-k
+    candidate set always contains the global top-k of ``scores + logp``.
+    All bookkeeping here is on [B, K, kc] — a few thousand elements.
+    """
+    b, k = state.scores.shape
+    new_dec, (vals, idx, lse) = decode_cand(
+        state.decoder_state, _flatten_beams(state.last_token)
+    )
+    kc = vals.shape[-1]
+    logp = (vals - lse).reshape(b, k, kc)
+    cand_tok = idx.reshape(b, k, kc)
+    # Finished beams: single EOS continuation at zero added score.
+    slot0 = jnp.arange(kc) == 0
+    fin_logp = jnp.where(slot0, 0.0, NEG_INF)
+    fin = state.finished[..., None]
+    logp = jnp.where(fin, fin_logp, logp)
+    cand_tok = jnp.where(fin, eos_id, cand_tok)
+    cand = state.scores[..., None] + logp  # [B, K, kc]
+    new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
+    parent = flat_idx // kc
+    token = jax.vmap(lambda tk, i: tk.reshape(-1)[i])(cand_tok, flat_idx)
+    return _advance(
+        state, new_dec, new_scores, parent, token, t, eos_id=eos_id, pad_id=pad_id
     )
 
 
@@ -134,12 +196,15 @@ def beam_decode(
     bos_id: int = BOS,
     eos_id: int = EOS,
     pad_id: int = PAD,
+    candidates: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
 
     ``decode_step(state [B*K,...], tokens [B*K]) -> (state, logits [B*K, V])``
     may be the flax module path or the packed-kernel inference path
-    (:mod:`.infer`) — the beam bookkeeping is identical.
+    (:mod:`.infer`) — the beam bookkeeping is identical. With
+    ``candidates=True`` the decoder returns per-beam top-k candidates
+    ``(vals, idx, lse)`` instead of logits (fused-kernel serving path).
     """
     k = cfg.beam_size
     init = BeamState(
@@ -154,9 +219,11 @@ def beam_decode(
         lengths=jnp.zeros((batch, k), jnp.int32),
     )
 
+    stepper = step_beams_cand if candidates else step_beams
+
     def scan_body(state, t):
         return (
-            step_beams(
+            stepper(
                 decode_step, state, t, beam_size=k, eos_id=eos_id, pad_id=pad_id
             ),
             None,

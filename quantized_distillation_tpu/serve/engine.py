@@ -36,7 +36,14 @@ import numpy as np
 
 from ..config import ServeConfig
 from ..data.translation import BOS, EOS, PAD
-from .beam import NEG_INF, BeamState, expand_to_beams, length_penalty, step_beams
+from .beam import (
+    NEG_INF,
+    BeamState,
+    expand_to_beams,
+    length_penalty,
+    step_beams,
+    step_beams_cand,
+)
 
 PyTree = Any
 
@@ -78,8 +85,15 @@ class TranslationEngine:
         t_src, t_max = cfg.max_src_len, cfg.max_tgt_len
         model, variables, dec = self.model, self.variables, self.dec
 
+        from .infer import KMAX
+
+        use_cand = dec is not None and k <= KMAX
         if dec is not None:
-            from .infer import encode_packed, packed_decode_step
+            from .infer import (
+                encode_packed,
+                packed_decode_step,
+                packed_decode_step_topk,
+            )
 
             def encode(src, src_len):
                 keys, enc_out, enc_mask, st = encode_packed(
@@ -87,8 +101,20 @@ class TranslationEngine:
                 )
                 return keys, enc_out, enc_mask, st
 
-            def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
-                return packed_decode_step(dec, st, tokens, enc_keys, enc_out, enc_mask)
+            if use_cand:
+                # fused dequant+matmul+top-k generator: the beam core
+                # consumes per-beam candidates, never [S*K, V] logits
+                def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
+                    return packed_decode_step_topk(
+                        dec, st, tokens, enc_keys, enc_out, enc_mask, k
+                    )
+
+            else:
+
+                def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
+                    return packed_decode_step(
+                        dec, st, tokens, enc_keys, enc_out, enc_mask
+                    )
 
         else:
 
@@ -112,7 +138,8 @@ class TranslationEngine:
             def ds(st, tokens):
                 return decode_step(enc_keys, enc_out, enc_mask, st, tokens)
 
-            new_beam = step_beams(
+            stepper = step_beams_cand if use_cand else step_beams
+            new_beam = stepper(
                 ds, beam, t_vec, beam_size=k, eos_id=EOS, pad_id=PAD
             )
             # inactive slots keep their previous state untouched

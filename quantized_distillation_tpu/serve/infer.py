@@ -35,6 +35,7 @@ from flax import struct
 
 from ..config import BeamConfig
 from ..kernels import PackedLinear, dequant_matmul, pack_linear
+from ..kernels.topk_fused import KMAX, dequant_matmul_topk
 from ..models.seq2seq import DecoderState, Seq2SeqConfig
 from .beam import beam_decode, expand_to_beams
 
@@ -154,15 +155,15 @@ def _mm(x, p: PackedLinear, dec: PackedDecoder):
     )
 
 
-def packed_decode_step(
+def _decode_body(
     dec: PackedDecoder,
     state: DecoderState,
-    token: jnp.ndarray,  # [B]
-    enc_keys: jnp.ndarray,  # [B, T, H]
-    enc_out: jnp.ndarray,  # [B, T, H]
-    enc_mask: jnp.ndarray,  # [B, T]
+    token: jnp.ndarray,
+    enc_keys: jnp.ndarray,
+    enc_out: jnp.ndarray,
+    enc_mask: jnp.ndarray,
 ) -> Tuple[DecoderState, jnp.ndarray]:
-    """One serving decode step on packed weights → (state, logits [B, V])."""
+    """Everything up to (but excluding) the generator → (state, attn_h)."""
     states, input_feed = state
     x = dec.tgt_embed[token].astype(jnp.float32)
     x = jnp.concatenate([x, input_feed], axis=-1)
@@ -181,8 +182,45 @@ def packed_decode_step(
     align = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum("bt,bth->bh", align, enc_out.astype(jnp.float32))
     attn_h = jnp.tanh(_mm(jnp.concatenate([context, x], axis=-1), dec.attn_out, dec))
+    return (tuple(new_states), attn_h), attn_h
+
+
+def packed_decode_step(
+    dec: PackedDecoder,
+    state: DecoderState,
+    token: jnp.ndarray,  # [B]
+    enc_keys: jnp.ndarray,  # [B, T, H]
+    enc_out: jnp.ndarray,  # [B, T, H]
+    enc_mask: jnp.ndarray,  # [B, T]
+) -> Tuple[DecoderState, jnp.ndarray]:
+    """One serving decode step on packed weights → (state, logits [B, V])."""
+    new_state, attn_h = _decode_body(dec, state, token, enc_keys, enc_out, enc_mask)
     logits = _mm(attn_h, dec.generator, dec)
-    return (tuple(new_states), attn_h), logits
+    return new_state, logits
+
+
+def packed_decode_step_topk(
+    dec: PackedDecoder,
+    state: DecoderState,
+    token: jnp.ndarray,  # [B]
+    enc_keys: jnp.ndarray,
+    enc_out: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+    k: int,
+) -> Tuple[DecoderState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Decode step returning per-row top-k candidates ``(vals, idx, lse)``
+    via the fused generator kernel — the [B, V] logits never exist in HBM
+    (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`.
+    """
+    new_state, attn_h = _decode_body(dec, state, token, enc_keys, enc_out, enc_mask)
+    cand = dequant_matmul_topk(
+        attn_h,
+        dec.generator,
+        k,
+        compute_dtype=dec.compute_dtype,
+        use_pallas=dec.use_pallas,
+    )
+    return new_state, cand
 
 
 def beam_search_packed(
@@ -192,14 +230,33 @@ def beam_search_packed(
     src: jnp.ndarray,
     src_len: jnp.ndarray,
     cfg: BeamConfig,
+    *,
+    fused_topk: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Beam search driven by the packed decode step (serving entry point)."""
+    """Beam search driven by the packed decode step (serving entry point).
+
+    ``fused_topk`` selects the candidate-based beam core fed by the fused
+    dequant+matmul+top-k generator kernel; default: on whenever the beam
+    fits the kernel (beam_size <= 8 — it always does for reference-parity
+    beams; onmt used beam 5).
+    """
     b, k = src.shape[0], cfg.beam_size
+    if fused_topk is None:
+        fused_topk = k <= KMAX
     keys, enc_out, enc_mask, state = encode_packed(model, variables, dec, src, src_len)
     keys_b = jnp.repeat(keys, k, axis=0)
     enc_out_b = jnp.repeat(enc_out, k, axis=0)
     enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
     state_b = expand_to_beams(state, k)
+
+    if fused_topk:
+
+        def decode_cand(s, tokens):
+            return packed_decode_step_topk(
+                dec, s, tokens, keys_b, enc_out_b, enc_mask_b, k
+            )
+
+        return beam_decode(decode_cand, state_b, b, cfg, candidates=True)
 
     def decode_step(s, tokens):
         return packed_decode_step(dec, s, tokens, keys_b, enc_out_b, enc_mask_b)

@@ -105,3 +105,32 @@ class TestPackedDecoder:
         t1, _ = beam_search(m, v, src, sl, cfg)
         t2, _ = beam_search_packed(m, v, dec, src, sl, cfg)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestFusedTopKBeam:
+    """Candidate-based beam (fused generator top-k) vs full-logits beam."""
+
+    def test_candidate_beam_matches_logits_beam(self, setup):
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=3, max_len=8)
+        t_logits, s_logits = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=False)
+        t_cand, s_cand = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
+        np.testing.assert_array_equal(np.asarray(t_logits), np.asarray(t_cand))
+        np.testing.assert_allclose(
+            np.asarray(s_logits), np.asarray(s_cand), atol=1e-5
+        )
+
+    def test_candidate_beam_matches_flax(self, setup):
+        m, v, src, sl = setup
+        from quantized_distillation_tpu.serve import beam_search
+
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=2, max_len=8)
+        t1, _ = beam_search(m, v, src, sl, cfg)
+        t2, _ = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

@@ -119,3 +119,91 @@ class TestDequantMatmulInterpret:
             rtol=1e-4,
             atol=1e-5,
         )
+
+
+class TestFusedTopK:
+    """Fused dequant+matmul+top-k+lse kernel (interpret mode) vs exact
+    reference. Random weights put the top-k in distinct lane classes with
+    overwhelming probability, so results should match exactly here."""
+
+    @pytest.mark.parametrize("bits", BITS)
+    def test_matches_reference(self, rng, bits):
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((64, 1024)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(1024).astype(np.float32))
+        p = pack_linear(w, bits, bias=bias)
+        v, i, lse = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        assert v.shape == (9, 5) and i.shape == (9, 5) and lse.shape == (9, 1)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+
+    def test_codebook_matches_reference(self, rng):
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((32, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+        pts = jnp.asarray(np.sort(rng.uniform(0, 1, 16)).astype(np.float32))
+        p = pack_linear(w, 4, points=pts, lut_mode="exact")
+        v, i, lse = dequant_matmul_topk(
+            x, p, 4, compute_dtype=jnp.float32, interpret=True
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 4)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+
+    def test_unpadded_tail_masked(self, rng):
+        """N not a multiple of the bucket-group width: edge-padded duplicate
+        columns must not appear in top-k indices nor inflate the lse."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        n = 700  # pads to 1024 with bg=4? (group chosen by pack_linear)
+        w = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+        p = pack_linear(w, 4)
+        v, i, lse = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        assert int(jnp.max(i)) < n
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+
+    def test_rejects_k_too_large(self, rng):
+        from quantized_distillation_tpu.kernels import dequant_matmul_topk
+
+        w = jnp.asarray(rng.standard_normal((16, 256)).astype(np.float32))
+        p = pack_linear(w, 4)
+        with pytest.raises(ValueError):
+            dequant_matmul_topk(jnp.ones((2, 16)), p, 9, interpret=True)
+
+    def test_reference_fallback_on_cpu(self, rng):
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+        p = pack_linear(w, 2)
+        got = dequant_matmul_topk(
+            x, p, 3, use_pallas=False, compute_dtype=jnp.float32
+        )
+        want = dequant_matmul_topk_reference(x, p, 3)
+        for g, wv in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wv), atol=1e-5)
