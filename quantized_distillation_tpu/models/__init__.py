@@ -1,10 +1,12 @@
-"""Model zoo: CIFAR CNN, WideResNet, OpenNMT-style LSTM seq2seq.
+"""Model zoo: CIFAR CNN, WideResNet, ImageNet ResNets, LSTM seq2seq.
 
-Covers the reference's ``cnn_models/`` and ``onmt/Models.py`` model families.
+Covers the reference's ``cnn_models/`` and ``onmt/Models.py`` model families
+plus the paper's ImageNet ResNet experiments.
 """
 
 from .cnn import PRESETS as CNN_PRESETS
 from .cnn import CNNSpec, ConvForwardNet, make_cnn
+from .resnet import RESNET_PRESETS, BottleneckBlock, ResNet, ResNetBlock, make_resnet
 from .seq2seq import (
     SEQ2SEQ_PRESETS,
     DecoderState,
@@ -32,4 +34,9 @@ __all__ = [
     "BasicBlock",
     "WideResNet",
     "make_wrn",
+    "RESNET_PRESETS",
+    "ResNet",
+    "ResNetBlock",
+    "BottleneckBlock",
+    "make_resnet",
 ]

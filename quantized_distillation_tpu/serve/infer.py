@@ -140,10 +140,12 @@ def encode_packed(
     enc_out, enc_mask, state = model.apply(
         variables, src, src_len, method=model.encode
     )
+    # Encoder tensors are re-read from HBM EVERY decode step (scores +
+    # context) — store them in compute_dtype (bf16 in serving) so that per-
+    # step traffic halves; contractions still accumulate in f32.
+    enc_out = enc_out.astype(dec.compute_dtype)
     if dec.attn_in is not None:
-        keys = jnp.einsum(
-            "bth,hk->btk", enc_out.astype(dec.compute_dtype), dec.attn_in
-        )
+        keys = jnp.einsum("bth,hk->btk", enc_out, dec.attn_in)
     else:
         keys = enc_out
     return keys, enc_out, enc_mask, state
@@ -177,10 +179,20 @@ def _decode_body(
         new_states.append((c, h))
         x = h
     # Luong attention on precomputed keys
-    scores = jnp.einsum("bh,bth->bt", x.astype(dec.compute_dtype), enc_keys)
-    scores = jnp.where(enc_mask, scores.astype(jnp.float32), -1e9)
+    scores = jnp.einsum(
+        "bh,bth->bt",
+        x.astype(dec.compute_dtype),
+        enc_keys,
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(enc_mask, scores, -1e9)
     align = jax.nn.softmax(scores, axis=-1)
-    context = jnp.einsum("bt,bth->bh", align, enc_out.astype(jnp.float32))
+    context = jnp.einsum(
+        "bt,bth->bh",
+        align.astype(dec.compute_dtype),
+        enc_out,
+        preferred_element_type=jnp.float32,
+    )
     attn_h = jnp.tanh(_mm(jnp.concatenate([context, x], axis=-1), dec.attn_out, dec))
     return (tuple(new_states), attn_h), attn_h
 

@@ -122,3 +122,61 @@ class TestSeq2Seq:
         )
         logits = m.apply(v, src, jnp.array([3]), jnp.array([[1, 5]], jnp.int32))
         assert logits.shape == (1, 2, 60)
+
+
+class TestResNet:
+    def test_imagenet_shapes_and_param_count(self):
+        from quantized_distillation_tpu.models import make_resnet
+
+        x = jnp.zeros((1, 64, 64, 3))
+        m = make_resnet("resnet18")
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(v, x).shape == (1, 1000)
+        # stock ResNet-18 is ~11.7M params
+        assert 10e6 < n_params(v) < 13e6
+
+    def test_width_students_smaller_and_runnable(self):
+        from quantized_distillation_tpu.models import make_resnet
+
+        x = jnp.zeros((2, 32, 32, 3))
+        sizes = []
+        for preset in ["resnet18", "resnet18_half", "resnet18_quarter"]:
+            m = make_resnet(preset, num_classes=10, small_inputs=True)
+            v = m.init(jax.random.PRNGKey(0), x)
+            assert m.apply(v, x).shape == (2, 10)
+            sizes.append(n_params(v))
+        assert sizes == sorted(sizes, reverse=True)
+
+    def test_bottleneck_variant(self):
+        from quantized_distillation_tpu.models import make_resnet
+
+        x = jnp.zeros((1, 32, 32, 3))
+        m = make_resnet("resnet50", num_classes=10, small_inputs=True)
+        v = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(v, x).shape == (1, 10)
+
+    def test_quantized_kd_train_step(self):
+        from quantized_distillation_tpu.config import DistillSpec, QuantSpec, TrainConfig
+        from quantized_distillation_tpu.models import make_resnet
+        from quantized_distillation_tpu.train import (
+            build_optimizer,
+            create_train_state,
+            make_train_step,
+            vision_task,
+        )
+
+        x = jnp.ones((4, 32, 32, 3))
+        y = jnp.zeros((4,), jnp.int32)
+        teacher = make_resnet("resnet18", num_classes=10, small_inputs=True)
+        student = make_resnet("resnet18_quarter", num_classes=10, small_inputs=True)
+        tv = teacher.init(jax.random.PRNGKey(0), x)
+        sv = student.init(jax.random.PRNGKey(1), x)
+        quant = QuantSpec(bits=4)
+        task = vision_task(student, teacher, tv)
+        tx = build_optimizer(TrainConfig(learning_rate=1e-3))
+        state = create_train_state(
+            sv["params"], tx, batch_stats=sv["batch_stats"], quant=quant
+        )
+        step = make_train_step(task, tx, quant=quant, distill=DistillSpec())
+        state, m = step(state, {"image": x, "label": y}, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
