@@ -64,27 +64,33 @@ class PackedLinear(struct.PyTreeNode):
 MAX_GROUP = 8
 
 
-def bucket_group(bits: int, n: Optional[int] = None) -> int:
+def bucket_group(
+    bits: int, n: Optional[int] = None, max_group: Optional[int] = None
+) -> int:
     """Buckets processed per kernel grid step.
 
     Two constraints drive the group size:
     - the packed-byte block's lane dim must be >= 128 on TPU (a 2-bit bucket
       is only 64 bytes → at least 2 buckets per step), and
-    - a [M,K]x[K,256] dot is MXU-*latency*-bound (measured: ~2us/step vs
-      0.2us of math) — grouping up to 8 buckets per step keeps the MXU
-      pipeline full while bounding padding waste for narrow matrices.
+    - per-grid-step fixed overhead is ~2us (measured) — grouping buckets per
+      step amortizes it while bounding padding waste for narrow matrices.
+
+    ``max_group`` overrides the default cap: wide serving matrices (the
+    vocab generator) measure fastest at 16 buckets/step (39.8us vs 44.7us
+    at 8 for the fused top-k kernel, [320,256]x[256,32k] int4); 32 regresses
+    from VMEM pressure. The default stays 8 — safe for any M.
     """
     bpb = BUCKET * bits // 8
     min_g = -(-128 // bpb)
     if n is None:
         return min_g
     nb = -(-n // BUCKET)
-    return max(min_g, min(MAX_GROUP, nb))
+    return max(min_g, min(max_group or MAX_GROUP, nb))
 
 
-def _pad_cols(w: jnp.ndarray, bits: int) -> jnp.ndarray:
+def _pad_cols(w: jnp.ndarray, bits: int, max_group: Optional[int] = None) -> jnp.ndarray:
     k, n = w.shape
-    pad = (-n) % (BUCKET * bucket_group(bits, n))
+    pad = (-n) % (BUCKET * bucket_group(bits, n, max_group))
     if pad:
         # edge-pad so padding never widens a bucket's min/max range
         w = jnp.pad(w, ((0, 0), (0, pad)), mode="edge")
@@ -122,6 +128,7 @@ def pack_linear(
     points: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     lut_mode: str = "exact",
+    max_group: Optional[int] = None,
 ) -> PackedLinear:
     """Quantize + pack a [K, N] weight matrix for serving.
 
@@ -142,7 +149,7 @@ def pack_linear(
         raise ValueError(f"pack_linear expects a matrix, got shape {w.shape}")
     k, n = w.shape
     if points is not None and lut_mode == "requant8":
-        wp = _pad_cols(w, 8)
+        wp = _pad_cols(w, 8, max_group)
         buckets = wp.reshape(k * wp.shape[1] // BUCKET, BUCKET)
         sp = compute_scale(buckets, scaling)
         x01 = (buckets - sp.offset) / sp.scale
@@ -157,11 +164,11 @@ def pack_linear(
             offset=sp.offset.reshape(k, nb).T,
             bits=8,
             shape=(k, n),
-            group=bucket_group(8, n),
+            group=bucket_group(8, n, max_group),
             points=None,
             bias=None if bias is None else jnp.asarray(bias, jnp.float32),
         )
-    wp = _pad_cols(w, bits)
+    wp = _pad_cols(w, bits, max_group)
     buckets = wp.reshape(k * wp.shape[1] // BUCKET, BUCKET)
     sp = compute_scale(buckets, scaling)
     x01 = (buckets - sp.offset) / sp.scale
@@ -178,7 +185,7 @@ def pack_linear(
         offset=sp.offset.reshape(k, nb).T,
         bits=bits,
         shape=(k, n),
-        group=bucket_group(bits, n),
+        group=bucket_group(bits, n, max_group),
         points=None if points is None else jnp.asarray(points, jnp.float32),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
     )

@@ -116,11 +116,15 @@ def _topk_kernel(
             x * o_row, axis=1, keepdims=True
         )
     tile = acc[:] + bias_ref[:]
-    # mask grid padding (edge-padded duplicate columns must not win top-k
-    # or inflate the logsumexp)
     col0 = j * c
-    col_in_tile = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
-    tile = jnp.where(col_in_tile + col0 < n_true, tile, NEG)
+    if n_true < n_steps * c:
+        # mask grid padding (edge-padded duplicate columns must not win
+        # top-k or inflate the logsumexp). Skipped entirely (static branch)
+        # when the caller neg-bias-masked the padding instead (bias = -1e9
+        # on padded columns — see serve.sharded.pack_generator_sharded):
+        # saves 3 full-tile VPU passes per grid step.
+        col_in_tile = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
+        tile = jnp.where(col_in_tile + col0 < n_true, tile, NEG)
 
     # ---- 2. streaming per-lane-class top-2 + logsumexp over 128-lane chunks
     v1, i1 = v1_s[:], i1_s[:]

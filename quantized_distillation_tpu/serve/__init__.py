@@ -1,4 +1,5 @@
-"""Serving: compiled beam search and the continuous-batching engine.
+"""Serving: compiled beam search, packed inference, continuous batching,
+and mesh-sharded (slot-DP × vocab-TP) deployment.
 
 Covers (and supersedes) the reference's ``onmt/Translator.py`` /
 ``onmt/Beam.py`` offline decode loop.
@@ -14,6 +15,14 @@ from .beam import (
     step_beams_cand,
     tokens_to_sentences,
 )
+from .engine import Completion, TranslationEngine
+from .infer import PackedDecoder, beam_search_packed, pack_decoder
+from .sharded import (
+    beam_search_sharded,
+    make_sharded_decode_step_topk,
+    pack_generator_sharded,
+    shard_decoder,
+)
 
 __all__ = [
     "BeamState",
@@ -24,4 +33,13 @@ __all__ = [
     "step_beams",
     "step_beams_cand",
     "tokens_to_sentences",
+    "Completion",
+    "TranslationEngine",
+    "PackedDecoder",
+    "beam_search_packed",
+    "pack_decoder",
+    "beam_search_sharded",
+    "make_sharded_decode_step_topk",
+    "pack_generator_sharded",
+    "shard_decoder",
 ]

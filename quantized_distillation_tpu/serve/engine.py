@@ -64,11 +64,25 @@ class TranslationEngine:
         variables: PyTree,
         cfg: ServeConfig,
         packed_decoder=None,
+        mesh=None,
     ):
+        """``mesh`` (with a vocab-sharded ``packed_decoder`` from
+        :func:`.sharded.shard_decoder`) serves the slot grid tensor-sharded:
+        slot rows over ``data``, the generator over ``model`` (see
+        :mod:`.sharded`). ``cfg.max_slots`` must divide the data axis."""
         self.model = model
         self.variables = variables
         self.cfg = cfg
         self.dec = packed_decoder
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape[DATA_AXIS]
+            if cfg.max_slots % dp:
+                raise ValueError(
+                    f"max_slots {cfg.max_slots} must divide data axis {dp}"
+                )
         self._next_id = 0
         self._queue: List[Tuple[int, np.ndarray, int]] = []
         self._slot_req: List[Optional[int]] = [None] * cfg.max_slots
@@ -87,8 +101,25 @@ class TranslationEngine:
 
         from .infer import KMAX
 
+        mesh = self.mesh
         use_cand = dec is not None and k <= KMAX
-        if dec is not None:
+        if dec is not None and mesh is not None:
+            if not use_cand:
+                raise ValueError(
+                    f"sharded serving requires beam_size <= {KMAX}"
+                )
+            from .infer import encode_packed
+            from .sharded import make_sharded_decode_step_topk
+
+            def encode(src, src_len):
+                return encode_packed(model, variables, dec, src, src_len)
+
+            _sh_step = make_sharded_decode_step_topk(dec, mesh, k)
+
+            def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
+                return _sh_step(st, tokens, enc_keys, enc_out, enc_mask)
+
+        elif dec is not None:
             from .infer import (
                 encode_packed,
                 packed_decode_step,
@@ -206,6 +237,30 @@ class TranslationEngine:
 
         self._insert = jax.jit(insert, donate_argnums=(0,))
         self._grid = self._empty_grid()
+        if mesh is not None:
+            # rows (slots x beams) over `data`; beam bookkeeping replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            def put(x):
+                spec = P(DATA_AXIS) if x.shape and x.shape[0] in (s * k, s) else P()
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            enc_keys, enc_out, enc_mask, beam = self._grid
+            self._grid = (
+                put(enc_keys),
+                put(enc_out),
+                put(enc_mask),
+                beam.__class__(
+                    decoder_state=jax.tree.map(put, beam.decoder_state),
+                    tokens=put(beam.tokens),
+                    last_token=put(beam.last_token),
+                    scores=put(beam.scores),
+                    finished=put(beam.finished),
+                    lengths=put(beam.lengths),
+                ),
+            )
 
     def _empty_grid(self):
         cfg = self.cfg

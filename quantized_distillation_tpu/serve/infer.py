@@ -110,14 +110,32 @@ def pack_decoder(
         attn["linear_out"]["kernel"], bits, scaling=scaling, points=points,
         lut_mode=lut_mode,
     )
-    generator = pack_linear(
-        params["generator"]["kernel"],
-        bits,
-        scaling=scaling,
-        points=points,
-        bias=params["generator"]["bias"],
-        lut_mode=lut_mode,
-    )
+    if points is None:
+        # Serving generator: pre-pad the vocab width to the grid alignment
+        # with -1e9 bias on padded columns ("neg-bias masking") so the fused
+        # top-k kernel can skip its per-tile padding mask, and use 16
+        # buckets/grid-step (measured fastest for the wide vocab matmul —
+        # see kernels.packed.bucket_group).
+        from .sharded import pack_generator_sharded
+
+        generator = pack_generator_sharded(
+            params["generator"]["kernel"],
+            params["generator"]["bias"],
+            bits,
+            mp=1,
+            scaling=scaling,
+            max_group=16,
+        )
+    else:
+        generator = pack_linear(
+            params["generator"]["kernel"],
+            bits,
+            scaling=scaling,
+            points=points,
+            bias=params["generator"]["bias"],
+            lut_mode=lut_mode,
+            max_group=16,
+        )
     return PackedDecoder(
         tgt_embed=params["tgt_embed"]["embedding"].astype(compute_dtype),
         cells=tuple(cells),
@@ -207,7 +225,9 @@ def packed_decode_step(
 ) -> Tuple[DecoderState, jnp.ndarray]:
     """One serving decode step on packed weights → (state, logits [B, V])."""
     new_state, attn_h = _decode_body(dec, state, token, enc_keys, enc_out, enc_mask)
-    logits = _mm(attn_h, dec.generator, dec)
+    # the generator is packed to grid-aligned width with -1e9 bias on the
+    # padding (see pack_decoder); slice back to the true vocab
+    logits = _mm(attn_h, dec.generator, dec)[:, : dec.tgt_embed.shape[0]]
     return new_state, logits
 
 

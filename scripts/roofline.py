@@ -41,9 +41,12 @@ def main():
 
     results = []
 
-    def bench(name, body, weight_bytes):
+    def bench(name, body, weight_bytes, out_b=None):
         t = measure(body, trials=args.trials)
-        r = roofline(name, t, flops, weight_bytes + out_bytes + 4.0 * m * k)
+        r = roofline(
+            name, t, flops,
+            weight_bytes + (out_bytes if out_b is None else out_b) + 4.0 * m * k,
+        )
         results.append(r)
         print(r.line(), flush=True)
 
@@ -83,6 +86,21 @@ def main():
         lambda c: jnp.sum(dequant_matmul(x + c, pc, compute_dtype=jnp.bfloat16))
         * 1e-9,
         k * n / 2.0,
+    )
+    # fused generator kernel: logits never reach HBM — output is [m, k_top]x3
+    from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
+    from quantized_distillation_tpu.serve.sharded import pack_generator_sharded
+
+    pt = pack_generator_sharded(
+        w, jnp.zeros((n,), jnp.float32), 4, mp=1, max_group=16
+    )
+    bench(
+        "pallas int4+topk5+lse",
+        lambda c: (
+            lambda o: (jnp.sum(o[0]) + jnp.sum(o[2])) * 1e-9
+        )(dequant_matmul_topk(x + c, pt, 5, compute_dtype=jnp.bfloat16)),
+        k * n / 2.0,
+        out_b=12.0 * m * 8,
     )
 
     base = results[0].seconds
