@@ -104,8 +104,10 @@ def main():
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--bits", type=int, default=4)
     p.add_argument("--trials", type=int, default=5)
-    p.add_argument("--lo", type=int, default=2, help="short-chain decode count")
-    p.add_argument("--hi", type=int, default=12, help="long-chain decode count")
+    # long chains: the tunnel's per-dispatch RTT jitter is tens of ms, so the
+    # hi-lo work delta must be >> that for a stable estimate
+    p.add_argument("--lo", type=int, default=4, help="short-chain decode count")
+    p.add_argument("--hi", type=int, default=36, help="long-chain decode count")
     p.add_argument("--quick", action="store_true", help="tiny shapes for CPU smoke")
     args = p.parse_args()
     if args.quick:
