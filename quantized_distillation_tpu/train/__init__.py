@@ -6,6 +6,8 @@ Covers the reference's ``cnn_models/help_fun.py``,
 """
 
 from . import losses, quantize_tree, tasks, trainer
+from .loops import evaluate, fit
+from .manager import ExperimentManager
 from .losses import accuracy, cross_entropy, distillation_loss, kd_kl
 from .tasks import nmt_task, vision_task
 from .trainer import (
@@ -19,6 +21,9 @@ from .trainer import (
 
 __all__ = [
     "losses",
+    "evaluate",
+    "fit",
+    "ExperimentManager",
     "quantize_tree",
     "tasks",
     "trainer",

@@ -133,3 +133,21 @@ def roofline(
         pct_memory=pm,
         bound="compute" if intensity > ridge else "memory",
     )
+
+
+def trace(logdir: str):
+    """``jax.profiler`` trace context: XPlane/Perfetto dump under ``logdir``.
+
+    Usage::
+
+        with trace("/tmp/qdt-trace"):
+            state, m = train_step(state, batch, rng)
+            jax.block_until_ready(m["loss"])
+
+    View with TensorBoard's profile plugin or ui.perfetto.dev. This is the
+    SURVEY §5 'tracing/profiling' subsystem (absent in the reference); the
+    two-point ``measure`` above remains the right tool for wall-clock numbers
+    through the tunneled-TPU relay (traces capture device time fine, but
+    host timelines include the relay RTT).
+    """
+    return jax.profiler.trace(logdir)
