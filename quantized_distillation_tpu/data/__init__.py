@@ -4,6 +4,7 @@ Covers the reference's ``datasets/`` package and ``onmt/IO.py``.
 """
 
 from .cifar import ImageDataset, augment, batches, load_cifar
+from .lm import LMCorpus, lm_batches, load_token_file, synthetic_lm_corpus
 from .translation import (
     BOS,
     EOS,
@@ -22,6 +23,10 @@ __all__ = [
     "augment",
     "batches",
     "load_cifar",
+    "LMCorpus",
+    "lm_batches",
+    "load_token_file",
+    "synthetic_lm_corpus",
     "BOS",
     "EOS",
     "PAD",

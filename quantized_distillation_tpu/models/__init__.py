@@ -6,6 +6,7 @@ plus the paper's ImageNet ResNet experiments.
 
 from .cnn import PRESETS as CNN_PRESETS
 from .cnn import CNNSpec, ConvForwardNet, make_cnn
+from .lm import LM_PRESETS, LMConfig, LSTMLanguageModel, make_lm
 from .resnet import RESNET_PRESETS, BottleneckBlock, ResNet, ResNetBlock, make_resnet
 from .seq2seq import (
     SEQ2SEQ_PRESETS,
@@ -23,6 +24,10 @@ __all__ = [
     "CNNSpec",
     "ConvForwardNet",
     "make_cnn",
+    "LM_PRESETS",
+    "LMConfig",
+    "LSTMLanguageModel",
+    "make_lm",
     "SEQ2SEQ_PRESETS",
     "DecoderState",
     "Encoder",

@@ -9,6 +9,7 @@ Batch formats:
   nmt:    {"src": [B,Ts] int, "src_len": [B] int,
            "tgt_in": [B,Tt] int (BOS-shifted), "tgt_out": [B,Tt] int,
            "tgt_mask": [B,Tt] float}
+  lm:     {"input": [B,T] int, "target": [B,T] int}  (data/lm.py windows)
 """
 
 from __future__ import annotations
@@ -101,6 +102,49 @@ def nmt_task(
             logits, teacher_logits, batch["tgt_out"], distill, mask
         )
         nll_sum, n_tok = perplexity_terms(logits, batch["tgt_out"], mask)
+        return loss, {"nll_sum": nll_sum, "n_tokens": n_tok}
+
+    return Task(student_forward, loss_and_metrics, teacher_forward)
+
+
+def lm_task(
+    student_model,
+    teacher_model=None,
+    teacher_variables: Optional[PyTree] = None,
+) -> Task:
+    """Word-level LM training with per-time-step distillation (models/lm.py).
+
+    Windows are treated independently inside the jitted step (carry reset per
+    window — the model's explicit-carry API supports threading state across
+    windows in a custom loop; see ``examples/ptb_lm_distill.py``).
+    """
+
+    def student_forward(variables, batch, train, rngs):
+        logits, _ = student_model.apply(
+            variables,
+            batch["input"],
+            train=train,
+            rngs=rngs if train else {},
+        )
+        return logits, {}
+
+    teacher_forward = None
+    if teacher_model is not None:
+        if teacher_variables is None:
+            raise ValueError("teacher_model requires teacher_variables")
+
+        def teacher_forward(batch):
+            logits, _ = teacher_model.apply(
+                teacher_variables, batch["input"], train=False
+            )
+            return logits
+
+    def loss_and_metrics(logits, teacher_logits, batch, distill):
+        mask = jnp.ones(batch["target"].shape, jnp.float32)
+        loss = distillation_loss(
+            logits, teacher_logits, batch["target"], distill, mask
+        )
+        nll_sum, n_tok = perplexity_terms(logits, batch["target"], mask)
         return loss, {"nll_sum": nll_sum, "n_tokens": n_tok}
 
     return Task(student_forward, loss_and_metrics, teacher_forward)
