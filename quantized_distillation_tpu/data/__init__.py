@@ -4,6 +4,7 @@ Covers the reference's ``datasets/`` package and ``onmt/IO.py``.
 """
 
 from .cifar import ImageDataset, augment, batches, load_cifar
+from .imagenet import load_imagenet
 from .lm import LMCorpus, lm_batches, load_token_file, synthetic_lm_corpus
 from .translation import (
     BOS,
@@ -23,6 +24,7 @@ __all__ = [
     "augment",
     "batches",
     "load_cifar",
+    "load_imagenet",
     "LMCorpus",
     "lm_batches",
     "load_token_file",
