@@ -41,10 +41,15 @@ def build(args):
     src_len = jnp.full((args.batch,), args.src_len, jnp.int32)
     tgt_probe = jnp.ones((args.batch, 2), jnp.int32)
     variables = model.init(rng, src, src_len, tgt_probe)
-    # quantized path: packed INT-bits weights + fused Pallas dequant+matmul
+    # quantized path: packed INT-bits weights + fused Pallas dequant+matmul.
+    # generator_group: the fused kernel's VMEM logits tile is
+    # rows*group*1024 bytes vs a ~16MB scoped budget (see pack_decoder).
     use_pallas = jax.devices()[0].platform != "cpu"
+    rows = args.batch * args.beam
+    group = 16 if rows <= 640 else (8 if rows <= 1536 else 4)
     dec = pack_decoder(
-        variables["params"], model.cfg, args.bits, use_pallas=use_pallas
+        variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
+        generator_group=group,
     )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
 
@@ -99,7 +104,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="student_medium")
     p.add_argument("--vocab", type=int, default=32000)
-    p.add_argument("--batch", type=int, default=64)
+    # 128 slots: measured the best tokens/s/chip operating point on v5e
+    # (B=64 underfills the MXU at M=320; B=256 needs generator_group=8 and
+    # measured slightly below B=128).
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--src-len", type=int, default=24)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--bits", type=int, default=4)

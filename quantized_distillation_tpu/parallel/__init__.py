@@ -11,6 +11,7 @@ from .mesh import (
 from .sharding import (
     batch_pspecs,
     place_batch,
+    place_params_lm,
     place_params_seq2seq,
     place_replicated,
     replicated_pspecs,
@@ -26,6 +27,7 @@ __all__ = [
     "replicated",
     "batch_pspecs",
     "place_batch",
+    "place_params_lm",
     "place_params_seq2seq",
     "place_replicated",
     "replicated_pspecs",

@@ -101,6 +101,11 @@ def place_params_seq2seq(params: PyTree, mesh: Mesh) -> PyTree:
 
     Leaves whose sharded dim doesn't divide the mesh axis fall back to
     replication (e.g. odd vocab sizes in tests).
+
+    The rules are LSTM-family-generic (embedding rows, LSTM gate columns,
+    generator vocab columns), so they shard the language model
+    (``models/lm.py``) identically — ``place_params_lm`` below is the same
+    placement under the family's name.
     """
 
     def put(path, leaf):
@@ -122,3 +127,7 @@ def place_params_seq2seq(params: PyTree, mesh: Mesh) -> PyTree:
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
+
+
+# LSTM LM shares the gate/embedding/generator structure — same placement.
+place_params_lm = place_params_seq2seq

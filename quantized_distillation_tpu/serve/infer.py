@@ -82,6 +82,7 @@ def pack_decoder(
     lut_mode: str = "requant8",
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = True,
+    generator_group: int = 16,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 
@@ -89,6 +90,11 @@ def pack_decoder(
     matrix to learned-codebook dequant (differentiable-quantization deploys);
     ``lut_mode="requant8"`` (default) ships codebook values re-quantized onto
     the uniform int8 grid for uniform-kernel speed (see pack_linear).
+
+    ``generator_group`` caps buckets/grid-step for the fused vocab kernel.
+    16 is fastest for B*beam rows <= ~640; the kernel's VMEM logits-tile
+    scratch is ``rows * group * 256 * 4`` bytes against a ~16MB scoped
+    budget, so halve it (8, then 4) for larger serving batches.
     """
     dec = params["decoder"]
     cells = []
@@ -124,7 +130,7 @@ def pack_decoder(
             bits,
             mp=1,
             scaling=scaling,
-            max_group=16,
+            max_group=generator_group,
         )
     else:
         generator = pack_linear(
@@ -134,7 +140,7 @@ def pack_decoder(
             points=points,
             bias=params["generator"]["bias"],
             lut_mode=lut_mode,
-            max_group=16,
+            max_group=generator_group,
         )
     return PackedDecoder(
         tgt_embed=params["tgt_embed"]["embedding"].astype(compute_dtype),

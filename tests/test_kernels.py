@@ -146,6 +146,28 @@ class TestFusedTopK:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
 
+    @pytest.mark.parametrize("group", [2, 8])
+    def test_group_sizes_match_reference(self, rng, group):
+        """Smaller bucket groups (large-batch serving VMEM relief, see
+        serve.infer.pack_decoder generator_group) stay exact."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((64, 4096)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+        p = pack_linear(w, 4, bias=bias, max_group=group)
+        assert p.group == group
+        v, i, lse = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+
     def test_codebook_matches_reference(self, rng):
         from quantized_distillation_tpu.kernels import (
             dequant_matmul_topk,
