@@ -46,7 +46,12 @@ def build(args):
     # rows*group*1024 bytes vs a ~16MB scoped budget (see pack_decoder).
     use_pallas = jax.devices()[0].platform != "cpu"
     rows = args.batch * args.beam
-    group = 16 if rows <= 640 else (8 if rows <= 1536 else 4)
+    # largest power-of-two group whose rows*group*1024-byte logits tile fits
+    # a ~12MB VMEM budget (16MB scoped minus weights/scratch headroom)
+    budget = 12 * 1024 * 1024
+    group = 16
+    while group > 1 and rows * group * 1024 > budget:
+        group //= 2
     dec = pack_decoder(
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,

@@ -56,6 +56,7 @@ def main():
     from quantized_distillation_tpu.train import (
         build_optimizer,
         create_train_state,
+        lm_initial_carry,
         lm_task,
         make_eval_step,
     )
@@ -106,9 +107,12 @@ def main():
         batch_size=args.batch_size, seed=args.seed, clip_norm=5.0,
     )
     tv = teacher.init(jax.random.PRNGKey(args.seed), x0)
-    ttask = lm_task(teacher)
+    # thread_carry: standard PTB recipe — LSTM state continues across the
+    # contiguous-BPTT windows (stop-gradient at boundaries), reset per epoch
+    ttask = lm_task(teacher, thread_carry=True)
+    tcarry = lm_initial_carry(teacher, args.batch_size)
     ttx = build_optimizer(tcfg)
-    tstate = create_train_state(tv["params"], ttx)
+    tstate = create_train_state(tv["params"], ttx, carry=tcarry)
     if mgr.has_model(tname) and mgr.latest_step(tname):
         tstate = mgr.restore(tname, tstate)
         logger.log("teacher_restored", step=int(tstate.step))
@@ -118,10 +122,12 @@ def main():
         tstate = fit(
             ttask, tstate, tcfg, train_stream,
             eval_batches=eval_stream, tx=ttx, logger=logger,
-            manager=mgr, model_name=tname,
+            manager=mgr, model_name=tname, carry_reset=tcarry,
         )
     teacher_vars = {"params": tstate.params}
-    tppl = evaluate(make_eval_step(ttask), tstate, eval_stream())["perplexity"]
+    tppl = evaluate(
+        make_eval_step(ttask), tstate, eval_stream(), initial_carry=tcarry
+    )["perplexity"]
     logger.log("teacher_eval", perplexity=tppl)
 
     # ---- student: quantized distillation ----
@@ -134,21 +140,23 @@ def main():
         distill=DistillSpec(weight=args.kd_weight, temperature=args.kd_temperature),
     )
     sv = student.init(jax.random.PRNGKey(args.seed + 1), x0)
-    stask = lm_task(student, teacher, teacher_vars)
+    stask = lm_task(student, teacher, teacher_vars, thread_carry=True)
+    scarry = lm_initial_carry(student, args.batch_size, teacher)
     stx = build_optimizer(scfg)
-    sstate = create_train_state(sv["params"], stx, quant=quant)
+    sstate = create_train_state(sv["params"], stx, quant=quant, carry=scarry)
     if not mgr.has_model(sname):
         mgr.add_new_model(sname, vars(args))
     sstate = fit(
         stask, sstate, scfg, train_stream,
         eval_batches=eval_stream, tx=stx, logger=logger,
-        manager=mgr, model_name=sname,
+        manager=mgr, model_name=sname, carry_reset=scarry,
     )
 
     # ---- report: quantized perplexity + compressed size ----
-    sppl = evaluate(make_eval_step(stask, quant=quant), sstate, eval_stream())[
-        "perplexity"
-    ]
+    sppl = evaluate(
+        make_eval_step(stask, quant=quant), sstate, eval_stream(),
+        initial_carry=scarry,
+    )["perplexity"]
     streams = qt.index_streams(sstate.params, quant)
     rep = model_size_report(
         qt.param_sizes(sstate.params), args.bits,

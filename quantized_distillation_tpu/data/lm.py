@@ -70,7 +70,7 @@ def synthetic_lm_corpus(
     successors = np.stack(
         [struct_rng.permutation(n_words)[:branching] for _ in range(n_words)]
     )  # [n_words, branching]
-    probs = np.asarray([0.55, 0.25, 0.12, 0.08][:branching], np.float64)
+    probs = 0.55 ** np.arange(branching, dtype=np.float64)  # geometric skew
     probs = probs / probs.sum()
 
     rng = np.random.default_rng(seed)

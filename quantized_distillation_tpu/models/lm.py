@@ -99,5 +99,10 @@ class LSTMLanguageModel(nn.Module):
 
     def initial_carry(self, batch_size: int) -> LMCarry:
         cfg = self.cfg
-        z = jnp.zeros((batch_size, cfg.hidden), jnp.float32)
-        return tuple((z, z) for _ in range(cfg.num_layers))
+
+        # distinct buffers per slot: a shared zeros array would alias inside
+        # TrainState.carry and break the train step's buffer donation
+        def z():
+            return jnp.zeros((batch_size, cfg.hidden), jnp.float32)
+
+        return tuple((z(), z()) for _ in range(cfg.num_layers))

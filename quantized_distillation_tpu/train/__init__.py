@@ -9,7 +9,7 @@ from . import losses, quantize_tree, tasks, trainer
 from .loops import evaluate, fit
 from .manager import ExperimentManager
 from .losses import accuracy, cross_entropy, distillation_loss, kd_kl
-from .tasks import lm_task, nmt_task, vision_task
+from .tasks import lm_initial_carry, lm_task, nmt_task, vision_task
 from .trainer import (
     Task,
     TrainState,
@@ -31,6 +31,7 @@ __all__ = [
     "cross_entropy",
     "distillation_loss",
     "kd_kl",
+    "lm_initial_carry",
     "lm_task",
     "nmt_task",
     "vision_task",

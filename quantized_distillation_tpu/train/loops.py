@@ -33,19 +33,32 @@ Batch = Dict[str, np.ndarray]
 
 
 def evaluate(
-    eval_step, state: TrainState, batches: Iterable[Batch]
+    eval_step,
+    state: TrainState,
+    batches: Iterable[Batch],
+    initial_carry=None,
 ) -> Dict[str, float]:
     """Aggregate eval metrics over a dataset.
 
     Means are weighted by batch size; ``nll_sum``/``n_tokens`` pairs (NMT)
     are summed and reported as perplexity, matching the reference's
     perplexity eval.
+
+    ``initial_carry``: recurrent state threaded across batches for stateful
+    tasks (contiguous-BPTT LM eval) — injected as ``batch["carry"]`` and
+    replaced by the ``"carry"`` entry the eval step returns in its metrics.
     """
     sums: Dict[str, float] = {}
     weights: Dict[str, float] = {}
+    carry = initial_carry
     for batch in batches:
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
-        m = eval_step(state, batch)
+        if carry is not None:
+            batch["carry"] = carry
+        m = dict(eval_step(state, batch))
+        new_carry = m.pop("carry", None)  # drop from metrics either way
+        if initial_carry is not None and new_carry is not None:
+            carry = new_carry
         bs = next(iter(batch.values())).shape[0]
         for k, v in m.items():
             v = float(v)
@@ -76,10 +89,19 @@ def fit(
     manager: Optional[ExperimentManager] = None,
     model_name: Optional[str] = None,
     item_count: Callable[[Batch], int] = lambda b: next(iter(b.values())).shape[0],
+    carry_reset=None,
 ) -> TrainState:
     """Epoch loop: train, periodically eval on hard-quantized weights,
-    checkpoint per epoch. ``train_batches(epoch)`` yields numpy batches."""
+    checkpoint per epoch. ``train_batches(epoch)`` yields numpy batches.
+
+    ``carry_reset``: for stateful (carry-threading) tasks — the zero carry
+    reinstalled at each epoch start (the data stream restarts) and used as
+    the initial carry for the per-epoch eval pass."""
     logger = logger or MetricsLogger(echo=False)
+    if carry_reset is not None:
+        # host snapshot: each epoch installs a fresh device copy, because the
+        # donated train step deletes whatever buffers were installed before
+        carry_reset = jax.tree.map(np.asarray, carry_reset)
     tx = tx or build_optimizer(cfg)
     step_fn = make_train_step(
         task, tx, quant=cfg.quant, distill=cfg.distill, mode=mode, bits_map=bits_map
@@ -88,6 +110,8 @@ def fit(
     rng = jax.random.PRNGKey(cfg.seed)
     thr = Throughput()
     for epoch in range(cfg.epochs):
+        if carry_reset is not None:
+            state = state.replace(carry=jax.tree.map(jnp.asarray, carry_reset))
         losses = []
         for batch in train_batches(epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
@@ -104,9 +128,26 @@ def fit(
                     items_per_s=thr.per_second,
                     **{k: float(v) for k, v in metrics.items()},
                 )
+            if (
+                cfg.eval_every
+                and eval_batches is not None
+                and step % cfg.eval_every == 0
+            ):
+                logger.log(
+                    "eval",
+                    step=step,
+                    epoch=epoch,
+                    **evaluate(
+                        eval_fn, state, eval_batches(), initial_carry=carry_reset
+                    ),
+                )
         epoch_metrics: Dict[str, float] = {"loss": float(np.mean(losses))}
         if eval_batches is not None:
-            epoch_metrics.update(evaluate(eval_fn, state, eval_batches()))
+            epoch_metrics.update(
+                evaluate(
+                    eval_fn, state, eval_batches(), initial_carry=carry_reset
+                )
+            )
         logger.log("epoch", step=int(state.step), epoch=epoch, **epoch_metrics)
         if manager is not None and model_name is not None:
             manager.save(model_name, state, int(state.step))

@@ -47,6 +47,12 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
     batch_stats: Optional[PyTree] = None
     codebooks: Optional[Dict[str, jnp.ndarray]] = None
+    # Recurrent state threaded across steps (truncated BPTT, data/lm.py
+    # contiguous lanes). When set, the train step injects it into the batch
+    # as batch["carry"] (stop-gradient) and stores the task's
+    # updates["carry"] back — the standard PTB carry-threading recipe with
+    # the step still a single jit.
+    carry: Optional[PyTree] = None
 
 
 @dataclass(frozen=True)
@@ -122,6 +128,7 @@ def create_train_state(
     quant: Optional[QuantSpec] = None,
     codebook_init: str = "uniform",
     mode: str = "weights",
+    carry: Optional[PyTree] = None,
 ) -> TrainState:
     codebooks = None
     if quant is not None and quant.method == "codebook":
@@ -137,6 +144,9 @@ def create_train_state(
         ),
         batch_stats=batch_stats,
         codebooks=codebooks,
+        # private copy: the donated train step consumes state buffers, and
+        # the caller's carry pytree must survive (e.g. for later evals)
+        carry=None if carry is None else jax.tree.map(jnp.array, carry),
     )
     return state
 
@@ -175,6 +185,8 @@ def make_train_step(
     def step_fn(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         q_rng, dropout_rng = jax.random.split(rng)
+        if state.carry is not None:
+            batch = dict(batch, carry=jax.lax.stop_gradient(state.carry))
 
         def loss_fn(trainable):
             tmp = _with_trainable(state, mode, trainable)
@@ -207,6 +219,7 @@ def make_train_step(
             step=state.step + 1,
             opt_state=new_opt_state,
             batch_stats=updates.get("batch_stats", state.batch_stats),
+            carry=updates.get("carry", state.carry),
         )
         metrics = dict(metrics)
         metrics["loss"] = loss
@@ -233,8 +246,12 @@ def make_eval_step(
         variables = {"params": params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        logits, _ = task.student_forward(variables, batch, False, {})
+        logits, updates = task.student_forward(variables, batch, False, {})
         _, metrics = task.loss_and_metrics(logits, None, batch, None)
+        if "carry" in updates:
+            # recurrent eval: loops.evaluate pops this and threads it into
+            # the next batch (contiguous-BPTT perplexity)
+            metrics = dict(metrics, carry=updates["carry"])
         return metrics
 
     return jax.jit(eval_fn)

@@ -10,10 +10,12 @@ from quantized_distillation_tpu.models import make_lm
 from quantized_distillation_tpu.train import (
     build_optimizer,
     create_train_state,
+    lm_initial_carry,
     lm_task,
     make_eval_step,
     make_train_step,
 )
+from quantized_distillation_tpu.train.loops import evaluate
 
 
 class TestModel:
@@ -133,3 +135,40 @@ class TestTraining:
         )
         # perplexity terms present and finite under hard-quantized eval
         assert np.isfinite(float(em["nll_sum"]))
+
+    def test_thread_carry_continues_state_across_windows(self):
+        """Stateful lm_task: TrainState.carry advances each step, and a
+        carry-threaded eval over two windows equals one double-length window
+        (the data/lm.py lanes are contiguous, so logits must match)."""
+        corpus = synthetic_lm_corpus(4000, 32, seed=0)
+        vocab = len(corpus.vocab)
+        teacher = make_lm("student_small", vocab, hidden=48, embed_dim=48, dropout=0.0)
+        student = make_lm("student_small", vocab, hidden=32, embed_dim=32, dropout=0.0)
+        x0 = jnp.zeros((1, 10), jnp.int32)
+        tv = teacher.init(jax.random.PRNGKey(0), x0)
+        sv = student.init(jax.random.PRNGKey(1), x0)
+        task = lm_task(student, teacher, tv, thread_carry=True)
+        carry0 = lm_initial_carry(student, 4, teacher)
+        tx = build_optimizer(TrainConfig(learning_rate=1e-3))
+        state = create_train_state(sv["params"], tx, carry=carry0)
+        step = make_train_step(task, tx, distill=DistillSpec(weight=0.1))
+        batches = list(lm_batches(corpus, 4, 10))
+        state, _ = step(state, {k: jnp.asarray(v) for k, v in batches[0].items()},
+                        jax.random.PRNGKey(0))
+        # carry moved away from zeros (state threads across steps)
+        assert float(jnp.abs(state.carry["student"][0][0]).sum()) > 0
+        assert float(jnp.abs(state.carry["teacher"][0][0]).sum()) > 0
+
+        # eval equivalence: two bptt=10 windows threaded == one bptt=20 window
+        eval_fn = make_eval_step(task)
+        w2 = list(lm_batches(corpus, 4, 20))[:1]
+        m_long = evaluate(eval_fn, state, w2,
+                          initial_carry=lm_initial_carry(student, 4, teacher))
+        m_short = evaluate(eval_fn, state, batches[:2],
+                           initial_carry=lm_initial_carry(student, 4, teacher))
+        assert abs(m_long["perplexity"] - m_short["perplexity"]) < 1e-3
+
+        # without threading, the second window starts from zeros → differs
+        m_reset = evaluate(eval_fn, state, batches[:2],
+                           initial_carry=None)
+        assert abs(m_reset["perplexity"] - m_long["perplexity"]) > 1e-6
