@@ -205,7 +205,16 @@ def beam_decode(
     (:mod:`.infer`) — the beam bookkeeping is identical. With
     ``candidates=True`` the decoder returns per-beam top-k candidates
     ``(vals, idx, lse)`` instead of logits (fused-kernel serving path).
+
+    Returns the best hypothesis per sentence — ``(tokens [B, T], score [B])``
+    — when ``cfg.n_best == 1``, or the top ``n_best`` hypotheses sorted by
+    normalized score — ``(tokens [B, n_best, T], scores [B, n_best])`` — when
+    ``cfg.n_best > 1`` (the reference's ``onmt/Translator.py`` n-best list).
     """
+    if not (1 <= cfg.n_best <= cfg.beam_size):
+        raise ValueError(
+            f"n_best={cfg.n_best} must be in [1, beam_size={cfg.beam_size}]"
+        )
     k = cfg.beam_size
     init = BeamState(
         decoder_state=dec_state_beams,
@@ -231,9 +240,12 @@ def beam_decode(
 
     final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
     norm = final.scores / length_penalty(final.lengths, cfg.length_penalty)
-    best = jnp.argmax(norm, axis=1)  # [B]
     take = jax.vmap(lambda a, i: a[i])
-    return take(final.tokens, best), take(norm, best)
+    if cfg.n_best == 1:
+        best = jnp.argmax(norm, axis=1)  # [B]
+        return take(final.tokens, best), take(norm, best)
+    top_scores, order = jax.lax.top_k(norm, cfg.n_best)  # [B, n]
+    return take(final.tokens, order), top_scores
 
 
 def beam_search(

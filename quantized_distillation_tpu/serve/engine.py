@@ -53,6 +53,9 @@ class Completion:
     request_id: int
     tokens: np.ndarray  # best beam token row [T_max] (PAD-trimmed by caller)
     score: float
+    # populated when cfg.beam.n_best > 1 (reference onmt/Translator.py n-best):
+    nbest_tokens: Optional[np.ndarray] = None  # [n_best, T_max], best first
+    nbest_scores: Optional[np.ndarray] = None  # [n_best]
 
 
 class TranslationEngine:
@@ -357,15 +360,20 @@ class TranslationEngine:
             lp = length_penalty(beam.lengths, self.cfg.beam.length_penalty)
             norm = np.asarray(beam.scores / lp)
             toks = np.asarray(beam.tokens)
+            n_best = self.cfg.beam.n_best
             for slot in np.where(done_np)[0]:
-                best = int(norm[slot].argmax())
-                out.append(
-                    Completion(
-                        request_id=self._slot_req[slot],
-                        tokens=toks[slot, best].copy(),
-                        score=float(norm[slot, best]),
-                    )
+                order = np.argsort(-norm[slot])
+                best = int(order[0])
+                comp = Completion(
+                    request_id=self._slot_req[slot],
+                    tokens=toks[slot, best].copy(),
+                    score=float(norm[slot, best]),
                 )
+                if n_best > 1:
+                    top = order[:n_best]
+                    comp.nbest_tokens = toks[slot, top].copy()
+                    comp.nbest_scores = norm[slot, top].copy()
+                out.append(comp)
                 self._slot_req[slot] = None
                 t = self._slot_t.copy()
                 t[slot] = 0

@@ -41,14 +41,17 @@ def gradient_sensitivities(
     count = 0
     for batch in batches:
         grads = grad_fn(params, batch)
-        flat_g = jax.tree_util.tree_flatten_with_path(grads)[0]
-        flat_w = jax.tree.leaves(params)
-        for (path, g), w in zip(flat_g, flat_w):
+
+        # tree_map_with_path over BOTH trees: a params/grads structure
+        # mismatch raises instead of silently mispairing leaves (which a
+        # flatten-order zip would do).
+        def leaf(path, g, w):
             p = path_str(path)
-            if not is_quantizable(p, g, spec):
-                continue
-            s = float(jnp.mean(jnp.abs(g * w)))
-            acc[p] = acc.get(p, 0.0) + s
+            if is_quantizable(p, g, spec):
+                acc[p] = acc.get(p, 0.0) + float(jnp.mean(jnp.abs(g * w)))
+            return g
+
+        jax.tree_util.tree_map_with_path(leaf, grads, params)
         count += 1
     return {k: v / max(count, 1) for k, v in acc.items()}
 

@@ -68,6 +68,24 @@ class TestBeamSearch:
                 after = row[list(row).index(EOS) + 1 :]
                 assert (after == PAD).all()
 
+    def test_n_best_sorted_and_consistent_with_best(self, random_model):
+        m, v, src, src_len = random_model
+        cfg = BeamConfig(beam_size=4, max_len=6, n_best=3)
+        toks, scores = beam_search(m, v, src, src_len, cfg)
+        assert toks.shape == (2, 3, 6) and scores.shape == (2, 3)
+        s = np.asarray(scores)
+        assert (s[:, :-1] >= s[:, 1:] - 1e-6).all()  # best first
+        t1, s1 = beam_search(m, v, src, src_len, BeamConfig(beam_size=4, max_len=6))
+        np.testing.assert_array_equal(np.asarray(toks[:, 0]), np.asarray(t1))
+        np.testing.assert_allclose(s[:, 0], np.asarray(s1), rtol=1e-6)
+
+    def test_n_best_must_fit_beam(self, random_model):
+        m, v, src, src_len = random_model
+        with pytest.raises(ValueError):
+            beam_search(
+                m, v, src, src_len, BeamConfig(beam_size=2, max_len=4, n_best=3)
+            )
+
     def test_length_penalty(self):
         lp = length_penalty(jnp.asarray([5]), 0.0)
         assert float(lp[0]) == 1.0

@@ -60,6 +60,33 @@ class TestAssignBits:
         # only quantizable (>=2D, non-excluded) leaves appear
         assert all("bias" not in k for k in sens)
 
+    def test_known_sensitive_layer_wins_bits(self):
+        """A layer the loss depends on strongly must receive more bits than a
+        near-dead layer, end to end through sensitivities -> assign_bits."""
+        import flax.linen as nn
+
+        class TwoBranch(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                hot = nn.Dense(16, name="hot")(x)
+                cold = nn.Dense(16, name="cold")(x)
+                return hot + 1e-3 * cold
+
+        model = TwoBranch()
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        spec = QuantSpec(bits=4)
+
+        def loss(p, batch):
+            return jnp.mean((model.apply({"params": p}, batch["x"]) - batch["y"]) ** 2)
+
+        batch = {"x": x, "y": jax.random.normal(jax.random.PRNGKey(2), (8, 16))}
+        sens = gradient_sensitivities(loss, params, [batch], spec)
+        assert sens["hot/kernel"] > sens["cold/kernel"]
+        from quantized_distillation_tpu.train.quantize_tree import param_sizes
+        bits = assign_bits(param_sizes(params), sens, target_mean_bits=5.0)
+        assert bits["hot/kernel"] > bits["cold/kernel"]
+
 
 class TestFitLoop:
     def test_fit_trains_evals_checkpoints(self, tmp_path):

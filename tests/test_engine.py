@@ -102,6 +102,22 @@ class TestEngineEquivalence:
         )
         assert matches >= 5  # 8-bit quant noise may flip a rare tie
 
+    def test_n_best_completions(self, setup):
+        m, v, sents, ref = setup
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=12,
+            beam=BeamConfig(beam_size=3, max_len=12, n_best=2),
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids = [eng.submit(s) for s in sents[:4]]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        for i, rid in enumerate(rids):
+            c = res[rid]
+            assert c.nbest_tokens.shape == (2, 12)
+            assert c.nbest_scores[0] >= c.nbest_scores[1]
+            np.testing.assert_array_equal(c.nbest_tokens[0], c.tokens)
+            np.testing.assert_array_equal(c.tokens, ref[i])
+
     def test_throughput_counters(self, setup):
         m, v, sents, _ = setup
         eng = TranslationEngine(m, v, _cfg(4))
