@@ -12,7 +12,9 @@ serving-throughput win (BASELINE north-star: >= 3x FP32 tokens/s).
 Why this shape: bucket size 256 = 2 x 128 lanes aligns buckets exactly with
 lane tiling; the planar in-bucket pack order makes unpack a lane-dim
 concatenate (no interleave shuffle); scale/offset broadcast [K, 1] over the
-bucket; K stays whole in VMEM (our models' reduction dims are <= ~1.5k).
+bucket. The reduction dim is tiled: K <= 2048 stays whole in VMEM (our
+models' dims are <= ~1.5k); larger K runs a second (innermost) grid axis
+with f32 accumulation in the output block, so any student size fits.
 
 The pure-jnp reference path (``dequant_matmul_reference``) is the golden
 model for tests and the CPU fallback.
@@ -51,7 +53,7 @@ def _unpack_bucket(pb: jnp.ndarray, bits: int) -> jnp.ndarray:
 
 
 def _uniform_kernel(
-    x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, group, compute_dtype
+    x_ref, w_ref, s_ref, o_ref, out_ref, *, bits, group, compute_dtype, k_tiled
 ):
     """One 256-column bucket: out = (x * s_j) @ levels + (x · o_j).
 
@@ -61,15 +63,25 @@ def _uniform_kernel(
     reduction ``Σ_k x[m,k] o[j,k]`` broadcast over the bucket — the MXU then
     consumes raw integer levels. s/o rows are read with a dynamic *sublane*
     index (dynamic lane indexing is not lowerable on TPU).
+
+    With ``k_tiled`` the grid has an innermost K axis: the output block is
+    revisited per K tile and accumulated in f32 (zeroed on the first visit);
+    the per-bucket affine is exact per tile because scale/offset are per-K-row
+    constants, so partial sums are additive.
     """
-    j = pl.program_id(0)
     bg = group
     x = x_ref[:]
     bpb = BUCKET * bits // 8  # bytes per bucket
+    if k_tiled:
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
     for b in range(bg):  # static unroll over the bucket group
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
-        s_row = s_ref[pl.ds(j * bg + b, 1), :]  # [1, K]
-        o_row = o_ref[pl.ds(j * bg + b, 1), :]  # [1, K]
+        s_row = s_ref[pl.ds(b, 1), :]  # [1, Kt]
+        o_row = o_ref[pl.ds(b, 1), :]  # [1, Kt]
         xs = (x * s_row).astype(compute_dtype)
         acc = jnp.dot(
             xs,
@@ -78,20 +90,30 @@ def _uniform_kernel(
             precision=_dot_precision(compute_dtype),
         )
         offterm = jnp.sum(x * o_row, axis=1, keepdims=True)  # [M, 1]
-        out_ref[:, b * BUCKET : (b + 1) * BUCKET] = acc + offterm
+        cols = slice(b * BUCKET, (b + 1) * BUCKET)
+        if k_tiled:
+            out_ref[:, cols] += acc + offterm
+        else:
+            out_ref[:, cols] = acc + offterm
 
 
 def _codebook_kernel(
-    x_ref, w_ref, s_ref, o_ref, pts_ref, out_ref, *, bits, group, compute_dtype
+    x_ref, w_ref, s_ref, o_ref, pts_ref, out_ref, *,
+    bits, group, compute_dtype, k_tiled,
 ):
     """Codebook variant: levels index an SMEM LUT (select-accumulate — no
     general VMEM gather on TPU; 2^bits fully-vectorized VPU passes), then the
     same activation-side affine as the uniform kernel."""
-    j = pl.program_id(0)
     bg = group
     s = 1 << bits
     x = x_ref[:]
     bpb = BUCKET * bits // 8
+    if k_tiled:
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
     for b in range(bg):
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
         # static unroll (vs fori_loop): lets Mosaic software-pipeline the
@@ -99,8 +121,8 @@ def _codebook_kernel(
         vals = jnp.zeros(levels.shape, jnp.float32)
         for jj in range(s):
             vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
-        s_row = s_ref[pl.ds(j * bg + b, 1), :]
-        o_row = o_ref[pl.ds(j * bg + b, 1), :]
+        s_row = s_ref[pl.ds(b, 1), :]
+        o_row = o_ref[pl.ds(b, 1), :]
         xs = (x * s_row).astype(compute_dtype)
         acc = jnp.dot(
             xs,
@@ -108,17 +130,37 @@ def _codebook_kernel(
             preferred_element_type=jnp.float32,
             precision=_dot_precision(compute_dtype),
         )
-        out_ref[:, b * BUCKET : (b + 1) * BUCKET] = acc + jnp.sum(
-            x * o_row, axis=1, keepdims=True
-        )
+        part = acc + jnp.sum(x * o_row, axis=1, keepdims=True)
+        cols = slice(b * BUCKET, (b + 1) * BUCKET)
+        if k_tiled:
+            out_ref[:, cols] += part
+        else:
+            out_ref[:, cols] = part
 
 
 def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
+K_TILE_MAX = 2048  # largest reduction slab kept whole in VMEM
+
+
+def pick_k_tile(k: int, k_tile: Optional[int]) -> int:
+    """Reduction-dim tile: explicit (must divide K, multiple of 8) or the
+    largest power-of-two split of K that fits the VMEM slab budget."""
+    if k_tile is not None:
+        if k % k_tile or k_tile % 8:
+            raise ValueError(f"k_tile={k_tile} must divide K={k} and be 8-aligned")
+        return k_tile
+    tk = k
+    while tk > K_TILE_MAX and tk % 2 == 0:
+        tk //= 2
+    return tk
+
+
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "use_pallas")
+    jax.jit,
+    static_argnames=("compute_dtype", "interpret", "use_pallas", "k_tile"),
 )
 def dequant_matmul(
     x: jnp.ndarray,
@@ -127,11 +169,14 @@ def dequant_matmul(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     use_pallas: bool = True,
+    k_tile: Optional[int] = None,
 ) -> jnp.ndarray:
     """x [M, K] @ dequant(p) [K, N] (+ bias) → [M, N] float32.
 
     Pads M up to the sublane multiple, runs the grid over N buckets, strips
-    padding. Falls back to the jnp reference when ``use_pallas=False``.
+    padding. K larger than ``K_TILE_MAX`` (or an explicit ``k_tile``) adds an
+    innermost reduction-grid axis with f32 accumulation in the output block.
+    Falls back to the jnp reference when ``use_pallas=False``.
     """
     if not use_pallas:
         return dequant_matmul_reference(x, p, compute_dtype=compute_dtype)
@@ -150,34 +195,41 @@ def dequant_matmul(
     nb = npad // BUCKET
     if nb % bg:
         raise ValueError(f"buckets {nb} not divisible by group {bg}")
-    grid = (nb // bg,)
+    tk = pick_k_tile(k, k_tile)
+    nk = k // tk
+    # K is the innermost grid axis so the output block is revisited and
+    # accumulated across reduction tiles (Pallas revisiting semantics).
+    grid = (nb // bg, nk)
     group_bytes = bg * BUCKET // f
     in_specs = [
-        pl.BlockSpec((mpad, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, group_bytes), lambda j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((mpad, tk), lambda j, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tk, group_bytes), lambda j, kk: (kk, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((bg, tk), lambda j, kk: (j, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bg, tk), lambda j, kk: (j, kk), memory_space=pltpu.VMEM),
     ]
     operands = [xp, p.packed, p.scale, p.offset]
+    kargs = dict(
+        bits=p.bits, group=bg, compute_dtype=compute_dtype, k_tiled=nk > 1
+    )
     if p.points is not None:
-        kernel = functools.partial(
-            _codebook_kernel, bits=p.bits, group=bg, compute_dtype=compute_dtype
-        )
+        kernel = functools.partial(_codebook_kernel, **kargs)
         in_specs.append(
-            pl.BlockSpec((1 << p.bits,), lambda j: (0,), memory_space=pltpu.SMEM)
+            pl.BlockSpec(
+                (1 << p.bits,), lambda j, kk: (0,), memory_space=pltpu.SMEM
+            )
         )
         operands.append(p.points)
     else:
-        kernel = functools.partial(
-            _uniform_kernel, bits=p.bits, group=bg, compute_dtype=compute_dtype
-        )
+        kernel = functools.partial(_uniform_kernel, **kargs)
     flops = 2 * mpad * k * npad
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (mpad, bg * BUCKET), lambda j: (0, j), memory_space=pltpu.VMEM
+            (mpad, bg * BUCKET), lambda j, kk: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mpad, npad), jnp.float32),
         cost_estimate=pl.CostEstimate(

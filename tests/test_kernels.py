@@ -103,6 +103,52 @@ class TestDequantMatmulInterpret:
             atol=1e-4,
         )
 
+    @pytest.mark.parametrize("bits", [2, 4, 8])
+    def test_k_tiled_matches_reference_at_k4096(self, rng, bits):
+        """VERDICT #8: K beyond the VMEM slab budget runs the reduction-grid
+        path (auto k_tile 2048) and must stay exact."""
+        w = jnp.asarray(rng.standard_normal((4096, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((8, 4096)).astype(np.float32))
+        p = pack_linear(w, bits)
+        ref = dequant_matmul_reference(x, p)
+        from quantized_distillation_tpu.kernels.dequant_matmul import pick_k_tile
+        assert pick_k_tile(4096, None) == 2048  # auto-tiling engages
+        pal = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_explicit_k_tile_matches_untiled(self, rng):
+        w = jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        p = pack_linear(w, 4)
+        untiled = dequant_matmul(x, p, compute_dtype=jnp.float32, interpret=True)
+        tiled = dequant_matmul(
+            x, p, compute_dtype=jnp.float32, interpret=True, k_tile=64
+        )
+        # tiled reduction sums in a different order: f32 noise only
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(untiled), rtol=1e-3, atol=2e-4
+        )
+
+    def test_codebook_k_tiled(self, rng):
+        w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+        pts = jnp.asarray(np.sort(rng.uniform(0, 1, 16)).astype(np.float32))
+        p = pack_linear(w, 4, points=pts)
+        ref = dequant_matmul_reference(x, p)
+        pal = dequant_matmul(
+            x, p, compute_dtype=jnp.float32, interpret=True, k_tile=128
+        )
+        np.testing.assert_allclose(
+            np.asarray(pal), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_bad_k_tile_raises(self, rng):
+        p = pack_linear(jnp.zeros((64, 256)), 4)
+        with pytest.raises(ValueError):
+            dequant_matmul(jnp.zeros((4, 64)), p, interpret=True, k_tile=48)
+
     def test_k_mismatch_raises(self, rng):
         p = pack_linear(jnp.zeros((64, 256)), 4)
         with pytest.raises(ValueError):
