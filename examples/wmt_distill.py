@@ -5,11 +5,17 @@ NMT teacher, word-level-distill a smaller student with fake-quantized
 weights, evaluate perplexity and beam-search BLEU, report compressed size
 (2-bit adds the learned-codebook + Huffman path).
 
-Data: real parallel corpora via --src-train/--tgt-train/... (pre-tokenized,
-one sentence per line — the format WMT13 preprocessing emits), else the
-deterministic toy reversal corpus (clearly labelled).
+Data: real parallel corpora via --src-train/--tgt-train/... — either
+pre-tokenized (one sentence per line, whitespace tokens) or RAW text with
+--raw-text (full WMT13-fidelity loop: Moses-style tokenize -> optional
+--bpe-merges BPE -> train -> beam decode -> detokenize -> detok BLEU, with
+the pipelines/vocabs serialized into --workdir for serve-time reuse);
+else the deterministic toy reversal corpus (clearly labelled).
 
   python examples/wmt_distill.py --bits 4 --epochs 10
+  python examples/wmt_distill.py --raw-text --bpe-merges 8000 \\
+      --src-train train.de --tgt-train train.en \\
+      --src-test test.de --tgt-test test.en
 """
 
 from __future__ import annotations
@@ -25,10 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bleu_eval(model, params, corpus, beam_cfg, batch_size=64):
+def bleu_eval(model, params, corpus, beam_cfg, batch_size=64, tgt_pipe=None):
+    """Tokenized BLEU by default; with ``tgt_pipe`` (raw-text mode) the
+    hypotheses AND references are detokenized through the pipeline first and
+    scored with mteval-13a detok BLEU (the WMT-comparable number)."""
     from quantized_distillation_tpu.data import nmt_batches
     from quantized_distillation_tpu.serve import beam_search, tokens_to_sentences
-    from quantized_distillation_tpu.utils.bleu import corpus_bleu
+    from quantized_distillation_tpu.utils.bleu import corpus_bleu, detok_bleu
 
     bs = jax.jit(
         lambda s, l: beam_search(model, {"params": params}, s, l, beam_cfg)
@@ -39,7 +48,13 @@ def bleu_eval(model, params, corpus, beam_cfg, batch_size=64):
         for i, sent in zip(batch["index"], tokens_to_sentences(toks, corpus.tgt_vocab)):
             hyps[int(i)] = sent
     refs = [corpus.tgt_vocab.decode(t) for t in corpus.tgt]
-    return corpus_bleu([hyps[i] for i in range(len(refs))], refs)
+    ordered = [hyps[i] for i in range(len(refs))]
+    if tgt_pipe is not None:
+        return detok_bleu(
+            [tgt_pipe.decode_tokens(h) for h in ordered],
+            [tgt_pipe.decode_tokens(r) for r in refs],
+        )
+    return corpus_bleu(ordered, refs)
 
 
 def main():
@@ -60,6 +75,12 @@ def main():
     # real data (reference: WMT13 de-en preprocessed files)
     p.add_argument("--src-train"), p.add_argument("--tgt-train")
     p.add_argument("--src-test"), p.add_argument("--tgt-test")
+    # raw-text mode: Moses-style tokenize (+ optional BPE) + detok BLEU
+    p.add_argument("--raw-text", action="store_true",
+                   help="train files are RAW text: tokenize/BPE/detok here")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="BPE merge ops per side (0 = word-level, the paper setting)")
+    p.add_argument("--src-lang", default="de"), p.add_argument("--tgt-lang", default="en")
     # toy fallback
     p.add_argument("--toy-size", type=int, default=4000)
     p.add_argument("--toy-vocab", type=int, default=120)
@@ -86,7 +107,27 @@ def main():
     logger = MetricsLogger(os.path.join(args.workdir, "metrics.jsonl"))
     mgr = ExperimentManager(args.workdir)
 
-    if args.src_train and args.tgt_train:
+    tgt_pipe = None
+    if args.src_train and args.tgt_train and args.raw_text:
+        from quantized_distillation_tpu.data import load_raw_parallel
+
+        train_c, src_pipe, tgt_pipe = load_raw_parallel(
+            args.src_train, args.tgt_train,
+            src_lang=args.src_lang, tgt_lang=args.tgt_lang,
+            bpe_merges=args.bpe_merges or None,
+        )
+        test_c, _, _ = load_raw_parallel(
+            args.src_test, args.tgt_test,
+            src_pipe=src_pipe, tgt_pipe=tgt_pipe,
+            src_vocab=train_c.src_vocab, tgt_vocab=train_c.tgt_vocab,
+        )
+        # serialize preprocessing for serve-time reuse (identical pipeline)
+        os.makedirs(args.workdir, exist_ok=True)
+        src_pipe.save(args.workdir, "src")
+        tgt_pipe.save(args.workdir, "tgt")
+        train_c.src_vocab.save(os.path.join(args.workdir, "src.vocab"))
+        train_c.tgt_vocab.save(os.path.join(args.workdir, "tgt.vocab"))
+    elif args.src_train and args.tgt_train:
         train_c = load_parallel_files(args.src_train, args.tgt_train)
         test_c = load_parallel_files(
             args.src_test, args.tgt_test,
@@ -138,7 +179,8 @@ def main():
         tstate = fit(ttask, tstate, tcfg, train_stream, eval_batches=eval_stream,
                      tx=ttx, logger=logger, manager=mgr, model_name=tname,
                      item_count=token_count)
-    t_bleu = bleu_eval(teacher, tstate.params, test_c, beam_cfg, args.batch_size)
+    t_bleu = bleu_eval(teacher, tstate.params, test_c, beam_cfg,
+                       args.batch_size, tgt_pipe=tgt_pipe)
     logger.log("teacher_eval", bleu=t_bleu)
 
     # ---- student: quantized word-level distillation ----
@@ -166,7 +208,8 @@ def main():
     # quantized-deploy eval: hard-quantize weights, then perplexity + BLEU
     q_params = qt.quantize_tree_hard(sstate.params, quant, sstate.codebooks)
     ppl = evaluate(make_eval_step(stask, quant=quant), sstate, eval_stream())
-    s_bleu = bleu_eval(student, q_params, test_c, beam_cfg, args.batch_size)
+    s_bleu = bleu_eval(student, q_params, test_c, beam_cfg,
+                       args.batch_size, tgt_pipe=tgt_pipe)
 
     streams = qt.index_streams(sstate.params, quant, sstate.codebooks)
     rep = model_size_report(

@@ -6,6 +6,14 @@ Covers the reference's ``datasets/`` package and ``onmt/IO.py``.
 from .cifar import ImageDataset, augment, batches, load_cifar
 from .imagenet import load_imagenet
 from .lm import LMCorpus, lm_batches, load_token_file, synthetic_lm_corpus
+from .text import (
+    BPECodec,
+    TextPipeline,
+    bpe_join,
+    learn_bpe,
+    moses_detokenize,
+    moses_tokenize,
+)
 from .translation import (
     BOS,
     EOS,
@@ -15,6 +23,7 @@ from .translation import (
     Vocab,
     build_vocab,
     load_parallel_files,
+    load_raw_parallel,
     nmt_batches,
     toy_corpus,
 )
@@ -37,6 +46,13 @@ __all__ = [
     "Vocab",
     "build_vocab",
     "load_parallel_files",
+    "load_raw_parallel",
     "nmt_batches",
     "toy_corpus",
+    "BPECodec",
+    "TextPipeline",
+    "bpe_join",
+    "learn_bpe",
+    "moses_detokenize",
+    "moses_tokenize",
 ]

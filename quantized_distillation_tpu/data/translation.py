@@ -7,7 +7,9 @@ is source-agnostic:
 
 1. Real corpora: any pair of pre-tokenized parallel text files on disk
    (one sentence per line, whitespace tokens — the format the reference's
-   preprocessing emits) via :func:`load_parallel_files`.
+   preprocessing emits) via :func:`load_parallel_files`, or RAW text via
+   :func:`load_raw_parallel` (Moses-style tokenization + optional learned
+   BPE from :mod:`.text` — the reference's WMT13 preprocessing fidelity).
 2. A deterministic *toy translation task* via :func:`toy_corpus` — the
    "translation" reverses the source sentence and maps tokens through a fixed
    bijection. It has real source→target structure (attention must learn the
@@ -50,6 +52,20 @@ class Vocab:
             for i in ids
             if i not in (PAD, BOS, EOS) and 0 <= i < len(self.itos)
         ]
+
+    def save(self, path: str) -> None:
+        """One token per line (tokens never contain whitespace)."""
+        with open(path, "w") as f:
+            for w in self.itos:
+                f.write(w + "\n")
+
+    @classmethod
+    def load(cls, path: str) -> "Vocab":
+        with open(path) as f:
+            itos = [l.rstrip("\n") for l in f]
+        if itos[: len(SPECIALS)] != SPECIALS:
+            raise ValueError(f"{path} is not a saved vocab (bad specials row)")
+        return cls(itos)
 
 
 def build_vocab(sentences: Sequence[Sequence[str]], max_size: int = 50000, min_freq: int = 1) -> Vocab:
@@ -105,6 +121,80 @@ def load_parallel_files(
         tgt_vocab,
         source="disk",
     )
+
+
+def load_raw_parallel(
+    src_path: str,
+    tgt_path: str,
+    *,
+    src_pipe: Optional["TextPipeline"] = None,
+    tgt_pipe: Optional["TextPipeline"] = None,
+    src_lang: str = "de",
+    tgt_lang: str = "en",
+    bpe_merges: Optional[int] = None,
+    lower: bool = False,
+    src_vocab: Optional[Vocab] = None,
+    tgt_vocab: Optional[Vocab] = None,
+    max_len: int = 64,
+    max_vocab: int = 50000,
+):
+    """RAW parallel text → (corpus, src_pipe, tgt_pipe).
+
+    The reference's full WMT13 preprocessing path
+    (``datasets/translation_datasets.py``): Moses-style tokenization, an
+    optional learned BPE (``bpe_merges`` merge ops per side; ``None`` =
+    word-level, the reference/paper setting), then vocab build + id encode.
+    Pass the returned pipelines (and vocabs) back in for the test split and
+    at serve time so preprocessing is identical everywhere.
+    """
+    from .text import TextPipeline, learn_bpe
+
+    with open(src_path) as f:
+        src_raw = [l.rstrip("\n") for l in f]
+    with open(tgt_path) as f:
+        tgt_raw = [l.rstrip("\n") for l in f]
+    if src_pipe is None:
+        src_pipe = TextPipeline(lang=src_lang, lower=lower)
+    if tgt_pipe is None:
+        tgt_pipe = TextPipeline(lang=tgt_lang, lower=lower)
+
+    def _tok(pipe, lines):
+        from .text import moses_tokenize
+
+        return [
+            moses_tokenize(l.lower() if pipe.lower else l, pipe.lang)
+            for l in lines
+        ]
+
+    src_tok = _tok(src_pipe, src_raw)
+    tgt_tok = _tok(tgt_pipe, tgt_raw)
+    if bpe_merges and src_pipe.bpe is None:
+        src_pipe.bpe = learn_bpe(src_tok, bpe_merges)
+    if bpe_merges and tgt_pipe.bpe is None:
+        tgt_pipe.bpe = learn_bpe(tgt_tok, bpe_merges)
+    if src_pipe.bpe is not None:
+        src_tok = [src_pipe.bpe.encode(s) for s in src_tok]
+    if tgt_pipe.bpe is not None:
+        tgt_tok = [tgt_pipe.bpe.encode(t) for t in tgt_tok]
+    pairs = [
+        (s, t)
+        for s, t in zip(src_tok, tgt_tok)
+        if 0 < len(s) <= max_len and 0 < len(t) <= max_len
+    ]
+    src_tok = [p[0] for p in pairs]
+    tgt_tok = [p[1] for p in pairs]
+    if src_vocab is None:
+        src_vocab = build_vocab(src_tok, max_vocab)
+    if tgt_vocab is None:
+        tgt_vocab = build_vocab(tgt_tok, max_vocab)
+    corpus = ParallelCorpus(
+        [src_vocab.encode(s) for s in src_tok],
+        [tgt_vocab.encode(t) for t in tgt_tok],
+        src_vocab,
+        tgt_vocab,
+        source="raw",
+    )
+    return corpus, src_pipe, tgt_pipe
 
 
 def toy_corpus(

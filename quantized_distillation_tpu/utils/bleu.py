@@ -1,14 +1,18 @@
-"""Corpus BLEU (multi-bleu.perl semantics).
+"""Corpus BLEU (multi-bleu.perl semantics) + detokenized BLEU (mteval-13a).
 
 Re-designs the reference's BLEU scoring (vendored ``multi-bleu.perl`` or
 Python equivalent — SURVEY.md C18): modified n-gram precision up to 4-grams
 with brevity penalty, computed corpus-level over tokenized hypotheses and
-references. Pure host-side Python.
+references. :func:`detok_bleu` scores *detokenized strings* by applying the
+mteval-v13a tokenization to both sides first (the WMT-comparable number —
+sacrebleu's default), so scores no longer depend on the model's own
+tokenization/BPE choices. Pure host-side Python.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 from typing import List, Sequence, Tuple
 
@@ -48,3 +52,30 @@ def corpus_bleu(
     log_prec /= max_n
     bp = min(0.0, 1.0 - ref_len / hyp_len)
     return 100.0 * math.exp(bp + log_prec)
+
+
+def tokenize_13a(line: str) -> List[str]:
+    """mteval-v13a tokenization (sacrebleu "13a"): language-independent
+    punctuation splitting applied to detokenized text before scoring."""
+    t = line
+    t = t.replace("<skipped>", "")
+    t = t.replace("-\n", "").replace("\n", " ")
+    t = t.replace("&quot;", '"').replace("&amp;", "&")
+    t = t.replace("&lt;", "<").replace("&gt;", ">")
+    t = f" {t} "
+    t = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", t)
+    t = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", t)  # . , not preceded by digit
+    t = re.sub(r"([\.,])([^0-9])", r" \1 \2", t)  # . , not followed by digit
+    t = re.sub(r"([0-9])(-)", r"\1 \2 ", t)
+    return t.split()
+
+
+def detok_bleu(
+    hyp_lines: Sequence[str], ref_lines: Sequence[str], max_n: int = 4
+) -> float:
+    """Corpus BLEU over detokenized strings (mteval-13a semantics)."""
+    return corpus_bleu(
+        [tokenize_13a(h) for h in hyp_lines],
+        [tokenize_13a(r) for r in ref_lines],
+        max_n,
+    )
