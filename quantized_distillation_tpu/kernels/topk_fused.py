@@ -14,14 +14,25 @@ each tile **in VMEM** to the per-row statistics beam search actually needs:
 so the [M, V] logits never touch HBM: traffic per step drops from
 ``~3 * 4*M*V`` bytes to just the packed INT2/4/8 weight bytes.
 
-Top-k selection is *lane-bucketed streaming top-2*: vocab column ``c``
-belongs to class ``c % 128`` (the TPU lane it lands on) and the kernel keeps
-the two largest entries per class in VMEM scratch, merged across all tiles,
-then pops the global top-k from the [M, 256] survivors at the last grid
-step. This is exact unless >= 3 of the true top-k land in one lane class
-(P ≈ (k choose 3)/128² < 0.1% per row at k=5); the row maximum is ALWAYS
-exact, so greedy decode is exact. ``jax.lax.approx_max_k`` makes the same
-bounded-recall trade on TPU — here it rides inside the matmul for free.
+Top-k selection is *lane-bucketed streaming top-s* (``slots`` per call,
+default 2): vocab column ``c`` belongs to class ``c % 128`` (the TPU lane it
+lands on) and the kernel keeps the ``slots`` largest entries per class in
+VMEM scratch, merged across all tiles, then pops the global top-k from the
+[M, slots*128] survivors at the last grid step. This is exact unless
+> ``slots`` of the true top-k land in one lane class (slots=2, k=5:
+P ≈ (k choose 3)/128² < 0.1% per row for random logits; slots=4: all five
+must collide, P ≈ 128⁻⁴ ≈ 4e-9); the row maximum is ALWAYS exact, so greedy
+decode is exact, and slots >= k is exact for any input.
+``jax.lax.approx_max_k`` makes the same bounded-recall trade on TPU — here
+it rides inside the matmul for free.
+
+**Exactness certificate** (``certify=True``): the kernel also tracks, per
+lane class, the largest value ever discarded from the kept set; a row's
+top-k is PROVABLY exact when its k-th selected value strictly beats that
+bound. The certificate makes the approximation *observable*: serving can
+count certificate failures on live traffic instead of trusting a
+distributional argument (measured rates live in BASELINE.md).
+
 Logsumexp uses per-lane streaming max/sum-of-exp (flash-attention style)
 merged across lanes at the end, and is exact to f32 rounding.
 
@@ -57,12 +68,12 @@ def _topk_kernel(
     out_v,
     out_i,
     out_lse,
+    out_cert,
     acc,
-    v1_s,
-    i1_s,
-    v2_s,
-    i2_s,
+    vs_s,
+    is_s,
     se_s,
+    disc_s,
     *,
     bits,
     group,
@@ -70,6 +81,8 @@ def _topk_kernel(
     n_true,
     k,
     n_steps,
+    slots,
+    certify,
 ):
     """Inputs per grid step j:
 
@@ -79,6 +92,10 @@ def _topk_kernel(
       folds into the activations; hoisting the offset term out as a padded
       XLA matmul was tried and measured SLOWER — the extra [M, 128]-per-step
       HBM reads cost more than the in-kernel lane reduction).
+
+    Scratch: ``vs_s``/``is_s`` [M, slots*128] hold the per-lane-class top-s
+    survivors; ``disc_s`` [M, 128] the largest value each lane class ever
+    discarded (the exactness-certificate bound).
     """
     j = pl.program_id(0)
     m = x_ref.shape[0]
@@ -87,11 +104,11 @@ def _topk_kernel(
 
     @pl.when(j == 0)
     def _init():
-        v1_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
-        v2_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
-        i1_s[:] = jnp.zeros((m, LANES), jnp.int32)
-        i2_s[:] = jnp.zeros((m, LANES), jnp.int32)
+        vs_s[:] = jnp.full((m, slots * LANES), NEG, jnp.float32)
+        is_s[:] = jnp.zeros((m, slots * LANES), jnp.int32)
         se_s[:] = jnp.zeros((m, LANES), jnp.float32)
+        if certify:
+            disc_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
 
     # ---- 1. logits tile: fused dequant matmul
     x = x_ref[:]
@@ -126,58 +143,83 @@ def _topk_kernel(
         col_in_tile = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
         tile = jnp.where(col_in_tile + col0 < n_true, tile, NEG)
 
-    # ---- 2. streaming per-lane-class top-2 + logsumexp over 128-lane chunks
-    v1, i1 = v1_s[:], i1_s[:]
-    v2, i2 = v2_s[:], i2_s[:]
+    # ---- 2. streaming per-lane-class top-s + logsumexp over 128-lane chunks
+    vs = [vs_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
+    iv = [is_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
     se = se_s[:]
+    disc = disc_s[:] if certify else None
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
     for t in range(c // LANES):
         v = tile[:, t * LANES : (t + 1) * LANES]
         idx = lane + (col0 + t * LANES)
-        upd = v > v1
-        # the loser of the max fight challenges slot 2
-        dv = jnp.where(upd, v1, v)
-        di = jnp.where(upd, i1, idx)
-        v1n = jnp.where(upd, v, v1)
-        i1n = jnp.where(upd, idx, i1)
-        upd2 = dv > v2
-        v2 = jnp.where(upd2, dv, v2)
-        i2 = jnp.where(upd2, di, i2)
-        # per-lane streaming sum of exp relative to the (new) lane max.
-        # dv - v1n = (loser - winner), so ONE exp covers both branches:
+        # slot 0 doubles as the per-lane max for the streaming logsumexp:
+        # loser - winner, so ONE exp covers both branches:
         #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
         #   !upd:  se*exp(0)                + exp(v - max) = se + e
-        e = jnp.exp(dv - v1n)
+        upd = v > vs[0]
+        winner = jnp.where(upd, v, vs[0])
+        loser = jnp.where(upd, vs[0], v)
+        e = jnp.exp(loser - winner)
         se = jnp.where(upd, se * e + 1.0, se + e)
-        v1, i1 = v1n, i1n
-    v1_s[:], i1_s[:] = v1, i1
-    v2_s[:], i2_s[:] = v2, i2
+        cur_i = jnp.where(upd, iv[0], idx)
+        vs[0] = winner
+        iv[0] = jnp.where(upd, idx, iv[0])
+        cur_v = loser
+        # the displaced value ripples down the remaining slots
+        for s_ in range(1, slots):
+            u = cur_v > vs[s_]
+            nv = jnp.where(u, cur_v, vs[s_])
+            ni = jnp.where(u, cur_i, iv[s_])
+            cur_v = jnp.where(u, vs[s_], cur_v)
+            cur_i = jnp.where(u, iv[s_], cur_i)
+            vs[s_], iv[s_] = nv, ni
+        # cur_v fell out of the kept set: certificate bound (when off, the
+        # dangling cur_v/cur_i of the last ripple iteration are dead code)
+        if certify:
+            disc = jnp.maximum(disc, cur_v)
+    for t in range(slots):
+        vs_s[:, t * LANES : (t + 1) * LANES] = vs[t]
+        is_s[:, t * LANES : (t + 1) * LANES] = iv[t]
     se_s[:] = se
+    if certify:
+        disc_s[:] = disc
 
-    # ---- 3. last step: pop global top-k from the [M, 256] survivors
+    # ---- 3. last step: pop global top-k from the [M, slots*128] survivors
     @pl.when(j == n_steps - 1)
     def _finalize():
-        cand = jnp.concatenate([v1, v2], axis=1)  # [M, 256]
-        cidx = jnp.concatenate([i1, i2], axis=1)
-        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * LANES), 1)
+        cand = jnp.concatenate(vs, axis=1)  # [M, slots*128]
+        cidx = jnp.concatenate(iv, axis=1)
+        width = slots * LANES
+        pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, width), 1)
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
         buf_v = jnp.full((m, LANES), NEG, jnp.float32)
         buf_i = jnp.zeros((m, LANES), jnp.int32)
+        kth = jnp.full((m, 1), NEG, jnp.float32)
         for t in range(k):
             mx = jnp.max(cand, axis=1, keepdims=True)  # [M, 1]
             pos = jnp.min(
-                jnp.where(cand == mx, pos_iota, 2 * LANES), axis=1, keepdims=True
+                jnp.where(cand == mx, pos_iota, width), axis=1, keepdims=True
             )
             sel = pos_iota == pos
             idx_t = jnp.sum(jnp.where(sel, cidx, 0), axis=1, keepdims=True)
             buf_v = jnp.where(out_lane == t, mx, buf_v)
             buf_i = jnp.where(out_lane == t, idx_t, buf_i)
             cand = jnp.where(sel, NEG, cand)
+            kth = mx  # after the loop: the k-th (smallest selected) value
         out_v[:] = buf_v
         out_i[:] = buf_i
+        # certificate: the row's top-k is PROVABLY exact when even the best
+        # discarded value could not have displaced the k-th selection
+        if certify:
+            row_disc = jnp.max(disc, axis=1, keepdims=True)  # [M, 1]
+            out_cert[:] = jnp.broadcast_to(
+                (kth > row_disc).astype(jnp.int32), (m, LANES)
+            )
+        else:
+            out_cert[:] = jnp.zeros((m, LANES), jnp.int32)
         # exact lse: per-lane (max, sumexp) -> row
-        row_m = jnp.max(v1, axis=1, keepdims=True)  # [M, 1]
-        total = jnp.sum(se * jnp.exp(v1 - row_m), axis=1, keepdims=True)
+        row_m = jnp.max(vs[0], axis=1, keepdims=True)  # [M, 1]
+        total = jnp.sum(se * jnp.exp(vs[0] - row_m), axis=1, keepdims=True)
         out_lse[:] = jnp.broadcast_to(row_m + jnp.log(total), (m, LANES))
 
 
@@ -186,7 +228,10 @@ def _sublane(dtype) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "compute_dtype", "interpret", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "k", "compute_dtype", "interpret", "use_pallas", "slots", "certify",
+    ),
 )
 def dequant_matmul_topk(
     x: jnp.ndarray,
@@ -196,17 +241,28 @@ def dequant_matmul_topk(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     use_pallas: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    slots: int = 2,
+    certify: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
     indices [M, k] i32, logsumexp [M, 1] f32) without materializing logits.
 
-    ``k <= 8``. Falls back to the exact jnp reference when ``use_pallas`` is
-    False (CPU path).
+    ``k <= 8``. ``slots`` survivors are kept per lane class (2 = fastest,
+    ``slots >= k`` = mathematically exact for any input). With
+    ``certify=True`` a 4th output [M, 1] int32 is returned: 1 where the
+    row's top-k is provably exact (k-th value beats every discarded value).
+    Falls back to the exact jnp reference when ``use_pallas`` is False
+    (CPU path).
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
+    if not 1 <= slots <= KMAX:
+        raise ValueError(f"slots must be in [1, {KMAX}], got {slots}")
     if not use_pallas:
-        return dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
+        ref = dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
+        if certify:
+            return ref + (jnp.ones((x.shape[0], 1), jnp.int32),)
+        return ref
     m, kk = x.shape
     if kk != p.shape[0]:
         raise ValueError(f"x K={kk} vs packed K={p.shape[0]}")
@@ -241,6 +297,8 @@ def dequant_matmul_topk(
         n_true=n_true,
         k=k,
         n_steps=n_steps,
+        slots=slots,
+        certify=certify,
     )
     if p.points is not None:
         # pts_ref arrives as the 6th input ref, matching _topk_kernel's slot
@@ -255,21 +313,21 @@ def dequant_matmul_topk(
         jax.ShapeDtypeStruct((mpad, LANES), jnp.float32),
         jax.ShapeDtypeStruct((mpad, LANES), jnp.int32),
         jax.ShapeDtypeStruct((mpad, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((mpad, LANES), jnp.int32),
     ]
     out_specs = [
         pl.BlockSpec((mpad, LANES), lambda j: (0, 0), memory_space=pltpu.VMEM)
-        for _ in range(3)
+        for _ in range(4)
     ]
     scratch = [
         pltpu.VMEM((mpad, c), jnp.float32),  # logits tile
-        pltpu.VMEM((mpad, LANES), jnp.float32),  # v1
-        pltpu.VMEM((mpad, LANES), jnp.int32),  # i1
-        pltpu.VMEM((mpad, LANES), jnp.float32),  # v2
-        pltpu.VMEM((mpad, LANES), jnp.int32),  # i2
+        pltpu.VMEM((mpad, slots * LANES), jnp.float32),  # top-s values
+        pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s indices
         pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # discard bound (certificate)
     ]
     flops = 2 * mpad * kk * npad
-    vals, idx, lse = pl.pallas_call(
+    vals, idx, lse, cert = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=in_specs,
@@ -283,7 +341,10 @@ def dequant_matmul_topk(
         ),
         interpret=interpret,
     )(*operands)
-    return vals[:m, :k], idx[:m, :k], lse[:m, :1]
+    out = (vals[:m, :k], idx[:m, :k], lse[:m, :1])
+    if certify:
+        out = out + (cert[:m, :1],)
+    return out
 
 
 def _with_none_points(x_ref, w_ref, s_ref, o_ref, bias_ref, *rest, **kw):

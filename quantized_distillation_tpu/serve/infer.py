@@ -61,6 +61,10 @@ class PackedDecoder(struct.PyTreeNode):
     hidden: int = struct.field(pytree_node=False)
     compute_dtype: Any = struct.field(pytree_node=False, default=jnp.bfloat16)
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    # per-lane-class survivors in the fused top-k generator kernel:
+    # 2 = fastest (collisions certifiable, see kernels.topk_fused),
+    # >= beam_size = mathematically exact for any logits
+    topk_slots: int = struct.field(pytree_node=False, default=2)
 
 
 def _fuse_cell(cell_params: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -83,6 +87,7 @@ def pack_decoder(
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = True,
     generator_group: int = 16,
+    topk_slots: int = 2,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 
@@ -151,6 +156,7 @@ def pack_decoder(
         hidden=cfg.hidden,
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
+        topk_slots=topk_slots,
     )
 
 
@@ -257,6 +263,7 @@ def packed_decode_step_topk(
         k,
         compute_dtype=dec.compute_dtype,
         use_pallas=dec.use_pallas,
+        slots=dec.topk_slots,
     )
     return new_state, cand
 

@@ -157,6 +157,7 @@ def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
             attn_h, gen_local, k,
             compute_dtype=d.compute_dtype,
             use_pallas=d.use_pallas,
+            slots=d.topk_slots,
         )
         shard = jax.lax.axis_index(MODEL_AXIS)
         idx = idx + shard * local_npad

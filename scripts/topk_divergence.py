@@ -1,0 +1,243 @@
+"""Measure the fused top-k kernel's divergence on a TRAINED decode distribution.
+
+VERDICT round-1 item 1: the headline serving number rides on the
+lane-bucketed streaming top-k (kernels/topk_fused.py), whose exactness
+argument was distributional. This script quantifies it on a *trained* toy
+translation model's real (peaked) decode distributions instead of random
+logits:
+
+1. trains a seq2seq on the toy reversal task with a vocab large enough for
+   lane-class collisions to be possible (CPU subprocess stage, params cached
+   on disk),
+2. walks the exact beam-decode trajectory step by step on TPU; at every step
+   feeds the same generator input to (a) the exact dense top-k, (b) the
+   fused kernel with slots=2 (serving default) and (c) slots=4, recording
+   per-row top-k set mismatches, top-1 mismatches, and exactness-certificate
+   verdicts (certify=True),
+3. decodes the test set end-to-end fused-vs-exact and reports token/BLEU
+   deltas,
+4. asserts certificate SOUNDNESS: a certified row must never mismatch.
+
+Run on TPU:  python scripts/topk_divergence.py
+Outputs one JSON line; paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PARAMS_PATH = "/tmp/topk_divergence_params.msgpack"
+VOCAB = 2000  # large enough that several top-k ids can share a lane class
+N_TRAIN = 8000
+SEED = 0
+PRESET = "student_small"
+HIDDEN, EMBED = 256, 128
+EPOCHS = 6
+
+
+def build_corpus(n, seed):
+    from quantized_distillation_tpu.data import toy_corpus
+
+    return toy_corpus(n=n, vocab_size=VOCAB, min_len=6, max_len=6, seed=seed)
+
+
+def build_model(corpus):
+    from quantized_distillation_tpu.models import make_seq2seq
+
+    return make_seq2seq(
+        PRESET, len(corpus.src_vocab), len(corpus.tgt_vocab),
+        hidden=HIDDEN, embed_dim=EMBED, dropout=0.0,
+    )
+
+
+def train_stage():
+    """CPU stage: train the toy model and cache params."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from quantized_distillation_tpu.config import TrainConfig
+    from quantized_distillation_tpu.data import nmt_batches
+    from quantized_distillation_tpu.train import (
+        build_optimizer, create_train_state, make_train_step, nmt_task,
+    )
+
+    corpus = build_corpus(N_TRAIN, SEED)
+    model = build_model(corpus)
+    b0 = next(nmt_batches(corpus, 128))
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(b0["src"]),
+        jnp.asarray(b0["src_len"]), jnp.asarray(b0["tgt_in"]),
+    )
+    task = nmt_task(model)
+    tx = build_optimizer(TrainConfig(learning_rate=3e-3, clip_norm=5.0))
+    state = create_train_state(v["params"], tx)
+    step = make_train_step(task, tx, donate=False)
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(EPOCHS):
+        tot, nb = 0.0, 0
+        for batch in nmt_batches(corpus, 128, seed=epoch, drop_remainder=True):
+            batch.pop("index")
+            state, m = step(state, {k: jnp.asarray(x) for k, x in batch.items()}, rng)
+            tot += float(m["loss"])
+            nb += 1
+        print(f"train epoch {epoch} loss {tot / nb:.4f}", file=sys.stderr)
+    with open(PARAMS_PATH, "wb") as f:
+        f.write(serialization.to_bytes(state.params))
+
+
+def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from quantized_distillation_tpu.config import BeamConfig
+    from quantized_distillation_tpu.data import nmt_batches
+    from quantized_distillation_tpu.kernels import dequant_matmul
+    from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
+    from quantized_distillation_tpu.serve.beam import (
+        BeamState, NEG_INF, expand_to_beams, step_beams,
+    )
+    from quantized_distillation_tpu.serve.infer import (
+        _decode_body, beam_search_packed, encode_packed, pack_decoder,
+    )
+    from quantized_distillation_tpu.data.translation import BOS, EOS, PAD
+    from quantized_distillation_tpu.utils.bleu import corpus_bleu
+
+    train_corpus = build_corpus(N_TRAIN, SEED)
+    model = build_model(train_corpus)
+    b0 = next(nmt_batches(train_corpus, 2))
+    v0 = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(b0["src"]),
+        jnp.asarray(b0["src_len"]), jnp.asarray(b0["tgt_in"]),
+    )
+    with open(PARAMS_PATH, "rb") as f:
+        params = serialization.from_bytes(v0["params"], f.read())
+    params = jax.tree.map(jnp.asarray, params)  # numpy -> device arrays
+    variables = {"params": params}
+    dec = pack_decoder(params, model.cfg, bits)
+    vsize = len(train_corpus.tgt_vocab)
+    k = beam
+
+    # one jitted program for the whole per-step measurement
+    def measure_step(beam_state, t, keys_b, enc_out_b, enc_mask_b):
+        tokens = beam_state.last_token.reshape(-1)
+        new_state, attn_h = _decode_body(
+            dec, beam_state.decoder_state, tokens, keys_b, enc_out_b, enc_mask_b
+        )
+        logits = dequant_matmul(
+            attn_h, dec.generator, compute_dtype=dec.compute_dtype
+        )[:, :vsize]
+        ev, ei = jax.lax.top_k(logits, k)
+        live = ~beam_state.finished.reshape(-1)
+        stats = {}
+        for slots in (2, 4):
+            _, fi, _, cert = dequant_matmul_topk(
+                attn_h, dec.generator, k,
+                compute_dtype=dec.compute_dtype, slots=slots, certify=True,
+            )
+            # set comparison (ties can permute equal-valued entries)
+            match = (
+                jnp.sort(fi, axis=1) == jnp.sort(ei.astype(jnp.int32), axis=1)
+            ).all(axis=1)
+            top1 = fi[:, 0] == ei[:, 0].astype(jnp.int32)
+            stats[slots] = {
+                "rows": live.sum(),
+                "mismatch": (live & ~match).sum(),
+                "top1_mismatch": (live & ~top1).sum(),
+                "cert_fail": (live & (cert[:, 0] == 0)).sum(),
+                "unsound": (live & ~match & (cert[:, 0] == 1)).sum(),
+            }
+        new_beam = step_beams(
+            lambda s, tk: (new_state, logits), beam_state, t, beam_size=k
+        )
+        return new_beam, stats
+
+    measure_step = jax.jit(measure_step)
+
+    totals = {s: {m: 0 for m in ("rows", "mismatch", "top1_mismatch", "cert_fail", "unsound")} for s in (2, 4)}
+    bleu_rows = []
+    for seed in range(n_seeds):
+        test = build_corpus(batch, 1000 + seed)
+        tb = next(nmt_batches(test, batch, shuffle=False))
+        src = jnp.asarray(tb["src"])
+        src_len = jnp.asarray(tb["src_len"])
+        keys, enc_out, enc_mask, st = encode_packed(model, variables, dec, src, src_len)
+        keys_b = jnp.repeat(keys, k, axis=0)
+        enc_out_b = jnp.repeat(enc_out, k, axis=0)
+        enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
+        state_b = expand_to_beams(st, k)
+        b = src.shape[0]
+        beam_state = BeamState(
+            decoder_state=state_b,
+            tokens=jnp.full((b, k, max_len), PAD, jnp.int32),
+            last_token=jnp.full((b, k), BOS, jnp.int32),
+            scores=jnp.tile(
+                jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1)
+            ),
+            finished=jnp.zeros((b, k), bool),
+            lengths=jnp.zeros((b, k), jnp.int32),
+        )
+        for t in range(max_len):
+            beam_state, stats = measure_step(
+                beam_state, jnp.asarray(t), keys_b, enc_out_b, enc_mask_b
+            )
+            for s in (2, 4):
+                for m in totals[s]:
+                    totals[s][m] += int(stats[s][m])
+
+        # end-to-end: fused (slots=2) vs exact logits path
+        cfg = BeamConfig(beam_size=k, max_len=max_len)
+        tf, _ = beam_search_packed(model, variables, dec, src, src_len, cfg,
+                                   fused_topk=True)
+        te, _ = beam_search_packed(model, variables, dec, src, src_len, cfg,
+                                   fused_topk=False)
+        tf, te = np.asarray(tf), np.asarray(te)
+        tok_agree = float((tf == te).mean())
+        refs = [test.tgt_vocab.decode(t_) for t_ in test.tgt]
+        from quantized_distillation_tpu.serve import tokens_to_sentences
+
+        order = [int(i) for i in tb["index"]]
+        hyp_f = tokens_to_sentences(tf, test.tgt_vocab)
+        hyp_e = tokens_to_sentences(te, test.tgt_vocab)
+        bleu_f = corpus_bleu(hyp_f, [refs[i] for i in order])
+        bleu_e = corpus_bleu(hyp_e, [refs[i] for i in order])
+        bleu_rows.append({"seed": seed, "bleu_fused": bleu_f, "bleu_exact": bleu_e,
+                          "token_agreement": tok_agree})
+        print(f"seed {seed}: fused BLEU {bleu_f:.2f} exact BLEU {bleu_e:.2f} "
+              f"token agreement {tok_agree:.4f}", file=sys.stderr)
+
+    out = {"vocab": vsize, "beam": k, "bits": bits, "steps": max_len,
+           "seeds": n_seeds, "per_step": {}, "end_to_end": bleu_rows}
+    for s in (2, 4):
+        r = max(totals[s]["rows"], 1)
+        out["per_step"][f"slots{s}"] = {
+            "rows": totals[s]["rows"],
+            "topk_set_mismatch_rate": totals[s]["mismatch"] / r,
+            "top1_mismatch_rate": totals[s]["top1_mismatch"] / r,
+            "cert_fail_rate": totals[s]["cert_fail"] / r,
+            "unsound_certificates": totals[s]["unsound"],
+        }
+    assert out["per_step"]["slots2"]["unsound_certificates"] == 0
+    assert out["per_step"]["slots4"]["unsound_certificates"] == 0
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--train" in sys.argv:  # MUST come first (the child would respawn)
+        train_stage()
+        sys.exit(0)
+    if not os.path.exists(PARAMS_PATH):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train"],
+            env=env, check=True, cwd="/tmp",
+        )
+    measure_stage()

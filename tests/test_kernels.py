@@ -252,6 +252,58 @@ class TestFusedTopK:
         np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
 
+    @pytest.mark.parametrize("slots", [2, 4, 8])
+    def test_slots_match_reference_random(self, rng, slots):
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((32, 1024)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+        p = pack_linear(w, 4)
+        v, i, lse, cert = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            slots=slots, certify=True,
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        # random logits: every row certified exact
+        assert np.asarray(cert).all()
+
+    def test_adversarial_lane_collision_detected_and_fixed(self, rng):
+        """>= 3 of the true top-5 in ONE lane class: slots=2 must FLAG the
+        rows (certificate 0) and slots=8 (= beam-width-proof) must be exact
+        AND certified (VERDICT round-1 item 1)."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        n = 1024
+        w = jnp.asarray(0.01 * rng.standard_normal((32, n)).astype(np.float32))
+        x = jnp.asarray(0.01 * rng.standard_normal((4, 32)).astype(np.float32))
+        bias = np.zeros(n, np.float32)
+        bias[0], bias[128], bias[256] = 10.0, 9.0, 8.0  # all lane class 0
+        p = pack_linear(w, 8, bias=jnp.asarray(bias))
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        assert set(np.asarray(ir[0, :3])) == {0, 128, 256}  # setup sanity
+        v2, i2, _, c2 = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            slots=2, certify=True,
+        )
+        assert not np.asarray(c2).any()  # every row flagged as possibly inexact
+        assert not (np.asarray(i2) == np.asarray(ir)).all()  # and indeed wrong
+        v8, i8, lse8, c8 = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            slots=8, certify=True,
+        )
+        assert np.asarray(c8).all()
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(v8), np.asarray(vr), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lse8), np.asarray(lser), atol=1e-4)
+
     def test_rejects_k_too_large(self, rng):
         from quantized_distillation_tpu.kernels import dequant_matmul_topk
 
