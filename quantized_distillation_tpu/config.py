@@ -105,3 +105,13 @@ class ServeConfig:
     max_tgt_len: int = 100
     beam: BeamConfig = field(default_factory=BeamConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Admission batch: up to this many queued sentences are encoded in ONE
+    # jitted dispatch and scattered into their slots in one more (the
+    # round-1 engine paid 2 dispatches PER sentence — admission-bound under
+    # churn on any high-RTT host link).
+    admit_batch: int = 8
+    # Decode steps per jitted dispatch: the host reads the done-flags once
+    # per chunk, so per-step dispatch/readback overhead is amortized
+    # chunk_steps x. Slots finishing mid-chunk idle (masked) until the chunk
+    # ends — a throughput/latency knob; 1 preserves per-step admission.
+    chunk_steps: int = 1

@@ -14,10 +14,15 @@ Design (ragged lifetimes x fixed-shape jit — SURVEY.md §7 hard part 2):
   [S, K, T_max] tokens). These are what the sharding rules tensor-shard.
 - Each slot sits at its own decode depth: ``step_beams`` takes a per-slot
   ``t`` vector; inactive slots are masked back to their previous state.
-- Admission = one jitted ``insert`` (dynamic_update_slice at a traced slot
-  index — one program regardless of slot) after a one-sentence jitted encode.
-- The host loop only does queue/slot bookkeeping and reads back a tiny
-  [S] done-flag array per step; all math stays on device.
+- Admission is BATCHED: up to ``admit_batch`` queued sentences are encoded
+  in one jitted dispatch and scattered into their slots by one jitted
+  ``insert_many`` (scatter with ``mode='drop'`` — padding entries carry an
+  out-of-bounds slot sentinel and vanish), so admitting A sentences costs 2
+  dispatches, not 2A.
+- Stepping is CHUNKED: one dispatch advances every slot ``chunk_steps``
+  times inside a ``lax.scan`` (slots that finish mid-chunk are masked
+  frozen), and the host reads back the tiny [S] done-flags once per chunk.
+  All math stays on device; the host only does queue/slot bookkeeping.
 
 The engine is backend-agnostic over the decode step: it drives the packed
 Pallas inference path (:mod:`.infer`) in production and the flax path in
@@ -39,7 +44,6 @@ from ..data.translation import BOS, EOS, PAD
 from .beam import (
     NEG_INF,
     BeamState,
-    expand_to_beams,
     length_penalty,
     step_beams,
     step_beams_cand,
@@ -166,7 +170,7 @@ class TranslationEngine:
 
         self._encode = jax.jit(encode)
 
-        def step(grid, t_vec, active):
+        def one_step(grid, t_vec, active):
             enc_keys, enc_out, enc_mask, beam = grid
 
             def ds(st, tokens):
@@ -198,47 +202,73 @@ class TranslationEngine:
             )
             return (enc_keys, enc_out, enc_mask, merged), done
 
+        n_inner = cfg.chunk_steps
+
+        def step_chunk(grid, t_vec, active):
+            def body(carry, _):
+                grid, t_vec, active, done_acc, emitted = carry
+                grid, done = one_step(grid, t_vec, active)
+                emitted = emitted + jnp.sum(active.astype(jnp.int32))
+                t_vec = t_vec + active.astype(t_vec.dtype)
+                done_acc = done_acc | done
+                active = active & ~done
+                return (grid, t_vec, active, done_acc, emitted), None
+
+            init = (grid, t_vec, active, jnp.zeros_like(active), jnp.int32(0))
+            (grid, t_vec, active, done_acc, emitted), _ = jax.lax.scan(
+                body, init, None, length=n_inner
+            )
+            return grid, t_vec, done_acc, emitted
+
         # Donation is safe: extraction numpy views are copied before the
         # next dispatch, and slot_t updates are copy-on-write (see step()).
-        self._step = jax.jit(step, donate_argnums=(0,))
+        self._step = jax.jit(step_chunk, donate_argnums=(0,))
 
-        def insert(grid, slot, enc_keys_k, enc_out_k, enc_mask_k, dec_state_k):
+        def insert_many(grid, slots, keys_a, enc_out_a, enc_mask_a, st_a):
+            """Scatter an admission batch into its slots in one program.
+
+            ``slots`` [A] int32 — padding entries carry the sentinel
+            ``max_slots`` so every write they would make is out of bounds
+            and ``mode='drop'`` discards it. Per-beam expansion (repeat k)
+            happens in here so admission is exactly one dispatch.
+            """
             enc_keys, enc_out, enc_mask, beam = grid
-            r0 = slot * k
-            enc_keys = jax.lax.dynamic_update_slice(
-                enc_keys, enc_keys_k, (r0, 0, 0)
-            )
-            enc_out = jax.lax.dynamic_update_slice(enc_out, enc_out_k, (r0, 0, 0))
-            enc_mask = jax.lax.dynamic_update_slice(enc_mask, enc_mask_k, (r0, 0))
+            a = slots.shape[0]
+            rows = (slots[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+
+            def rep(x):
+                return jnp.repeat(x, k, axis=0)
+
+            enc_keys = enc_keys.at[rows].set(rep(keys_a), mode="drop")
+            enc_out = enc_out.at[rows].set(rep(enc_out_a), mode="drop")
+            enc_mask = enc_mask.at[rows].set(rep(enc_mask_a), mode="drop")
             new_dec = jax.tree.map(
-                lambda full, new: jax.lax.dynamic_update_slice(
-                    full, new, (r0,) + (0,) * (full.ndim - 1)
-                ),
+                lambda full, new: full.at[rows].set(rep(new), mode="drop"),
                 beam.decoder_state,
-                dec_state_k,
+                st_a,
             )
-            init_scores = jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32)
+            init_scores = jnp.tile(
+                jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (a, 1)
+            )
             beam = BeamState(
                 decoder_state=new_dec,
-                tokens=jax.lax.dynamic_update_slice(
-                    beam.tokens, jnp.full((1, k, t_max), PAD, jnp.int32), (slot, 0, 0)
+                tokens=beam.tokens.at[slots].set(
+                    jnp.full((a, k, t_max), PAD, jnp.int32), mode="drop"
                 ),
-                last_token=jax.lax.dynamic_update_slice(
-                    beam.last_token, jnp.full((1, k), BOS, jnp.int32), (slot, 0)
+                last_token=beam.last_token.at[slots].set(
+                    jnp.full((a, k), BOS, jnp.int32), mode="drop"
                 ),
-                scores=jax.lax.dynamic_update_slice(
-                    beam.scores, init_scores[None], (slot, 0)
+                scores=beam.scores.at[slots].set(init_scores, mode="drop"),
+                finished=beam.finished.at[slots].set(
+                    jnp.zeros((a, k), bool), mode="drop"
                 ),
-                finished=jax.lax.dynamic_update_slice(
-                    beam.finished, jnp.zeros((1, k), bool), (slot, 0)
-                ),
-                lengths=jax.lax.dynamic_update_slice(
-                    beam.lengths, jnp.zeros((1, k), jnp.int32), (slot, 0)
+                lengths=beam.lengths.at[slots].set(
+                    jnp.zeros((a, k), jnp.int32), mode="drop"
                 ),
             )
             return (enc_keys, enc_out, enc_mask, beam)
 
-        self._insert = jax.jit(insert, donate_argnums=(0,))
+        self._insert_many = jax.jit(insert_many, donate_argnums=(0,))
         self._grid = self._empty_grid()
         if mesh is not None:
             # rows (slots x beams) over `data`; beam bookkeeping replicated
@@ -269,9 +299,11 @@ class TranslationEngine:
         cfg = self.cfg
         s, k = cfg.max_slots, cfg.beam.beam_size
         t_src, t_max = cfg.max_src_len, cfg.max_tgt_len
-        # probe encode to learn state/hidden shapes
-        probe_src = jnp.full((1, t_src), PAD, jnp.int32).at[0, 0].set(BOS)
-        keys, enc_out, enc_mask, st = self._encode(probe_src, jnp.ones((1,), jnp.int32))
+        # probe encode to learn state/hidden shapes — at the SAME batch width
+        # the admission path uses, so only one encode program ever compiles
+        a = cfg.admit_batch
+        probe_src = jnp.full((a, t_src), PAD, jnp.int32).at[:, 0].set(BOS)
+        keys, enc_out, enc_mask, st = self._encode(probe_src, jnp.ones((a,), jnp.int32))
         h = enc_out.shape[-1]
         dtype = enc_out.dtype
         zeros_state = jax.tree.map(
@@ -312,31 +344,40 @@ class TranslationEngine:
         return sum(r is not None for r in self._slot_req)
 
     def _admit(self):
-        k = self.cfg.beam.beam_size
-        for slot in range(self.cfg.max_slots):
-            if not self._queue:
-                break
-            if self._slot_req[slot] is not None:
-                continue
-            rid, arr, n = self._queue.pop(0)
+        cfg = self.cfg
+        a = cfg.admit_batch
+        free = [i for i, r in enumerate(self._slot_req) if r is None]
+        while self._queue and free:
+            take = min(len(self._queue), len(free), a)
+            src = np.full((a, cfg.max_src_len), PAD, np.int32)
+            src[:, 0] = BOS  # harmless filler rows; their writes are dropped
+            lens = np.ones(a, np.int32)
+            # padding entries scatter out of bounds (mode='drop'): sentinel
+            slots = np.full(a, cfg.max_slots, np.int32)
+            admitted = []
+            for j in range(take):
+                rid, arr, n = self._queue.pop(0)
+                slot = free.pop(0)
+                src[j], lens[j], slots[j] = arr, n, slot
+                admitted.append((slot, rid))
             keys, enc_out, enc_mask, st = self._encode(
-                jnp.asarray(arr)[None], jnp.asarray([n], jnp.int32)
+                jnp.asarray(src), jnp.asarray(lens)
             )
-            self._grid = self._insert(
-                self._grid,
-                slot,
-                jnp.repeat(keys, k, axis=0),
-                jnp.repeat(enc_out, k, axis=0),
-                jnp.repeat(enc_mask, k, axis=0),
-                expand_to_beams(st, k),
+            self._grid = self._insert_many(
+                self._grid, jnp.asarray(slots), keys, enc_out, enc_mask, st
             )
-            self._slot_req[slot] = rid
             t = self._slot_t.copy()  # copy-on-write, see step()
-            t[slot] = 0
+            for slot, rid in admitted:
+                self._slot_req[slot] = rid
+                t[slot] = 0
             self._slot_t = t
 
     def step(self) -> List[Completion]:
-        """Admit pending work, run one decode step, pop completed slots."""
+        """Admit pending work, run one decode chunk, pop completed slots.
+
+        One chunk = ``cfg.chunk_steps`` device-side decode steps (host
+        readback once at the end); counters track inner steps.
+        """
         self._admit()
         active = np.array([r is not None for r in self._slot_req])
         if not active.any():
@@ -347,12 +388,12 @@ class TranslationEngine:
         # IN-FLIGHT computation (seen as slots skipping/duplicating token
         # positions, ~30%% of staggered runs). All updates below rebind
         # self._slot_t to a fresh array (copy-on-write).
-        self._grid, done = self._step(
+        self._grid, t_new, done, emitted = self._step(
             self._grid, jnp.asarray(self._slot_t), jnp.array(active)
         )
-        self.steps_run += 1
-        self.tokens_emitted += int(active.sum())
-        self._slot_t = self._slot_t + active.astype(np.int32)
+        self.steps_run += self.cfg.chunk_steps
+        self.tokens_emitted += int(emitted)
+        self._slot_t = np.array(t_new)  # fresh writable host copy
         done_np = np.asarray(done)
         out: List[Completion] = []
         if done_np.any():

@@ -118,6 +118,33 @@ class TestEngineEquivalence:
             np.testing.assert_array_equal(c.nbest_tokens[0], c.tokens)
             np.testing.assert_array_equal(c.tokens, ref[i])
 
+    @pytest.mark.parametrize("admit_batch,chunk_steps", [(2, 4), (8, 3), (1, 1)])
+    def test_chunked_batched_admission_equivalence(
+        self, setup, admit_batch, chunk_steps
+    ):
+        # batched admission (scatter insert) + chunked stepping must still
+        # reproduce offline beam search exactly, for staggered arrivals
+        m, v, sents, ref = setup
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=12,
+            beam=BeamConfig(beam_size=3, max_len=12),
+            admit_batch=admit_batch, chunk_steps=chunk_steps,
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids = {}
+        res = {}
+        arrival = {0: [0, 1], 1: [2, 3, 4, 5], 3: [6, 7, 8, 9, 10]}
+        chunk = 0
+        while len(res) < len(sents):
+            for i in arrival.get(chunk, []):
+                rids[eng.submit(sents[i])] = i
+            for c in eng.step():
+                res[c.request_id] = c
+            chunk += 1
+            assert chunk < 200
+        for rid, i in rids.items():
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
     def test_throughput_counters(self, setup):
         m, v, sents, _ = setup
         eng = TranslationEngine(m, v, _cfg(4))
