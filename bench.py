@@ -86,15 +86,17 @@ def build(args):
     return fp_loop, q_loop, src, src_len
 
 
-def time_path(fn, src, src_len, lo, hi, trials):
-    """Seconds per decode: two-point estimate so dispatch overhead cancels."""
+def time_path(fn, lo, hi, trials):
+    """Seconds per unit of chained work (``fn(n)`` runs n units inside one
+    program and returns a scalar): two-point estimate so dispatch overhead
+    cancels."""
 
     def run(n):
-        float(fn(src, src_len, n))  # compile/warm; scalar readback syncs
+        float(fn(n))  # compile/warm; scalar readback syncs
         samples = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            acc = float(fn(src, src_len, n))
+            acc = float(fn(n))
             samples.append(time.perf_counter() - t0)
             assert np.isfinite(acc)
         return sorted(samples)
@@ -103,6 +105,76 @@ def time_path(fn, src, src_len, lo, hi, trials):
     ests = [(h - l) / (hi - lo) for h, l in zip(t_hi, t_lo)]
     ests.sort()
     return max(ests[len(ests) // 2], 1e-9)
+
+
+def build_train(args):
+    """4-bit STE knowledge-distillation train step (teacher 2x500, student
+    per --preset) on a synthetic WMT-shaped batch; n chained steps run
+    inside ONE jitted while_loop (the state dependency serializes them)."""
+    from quantized_distillation_tpu.config import (
+        DistillSpec, QuantSpec, TrainConfig,
+    )
+    from quantized_distillation_tpu.models import make_seq2seq
+    from quantized_distillation_tpu.train import (
+        build_optimizer, create_train_state, make_train_step, nmt_task,
+    )
+
+    teacher = make_seq2seq("teacher", args.vocab, args.vocab, dropout=0.0)
+    student = make_seq2seq(args.preset, args.vocab, args.vocab, dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    b, l = args.batch, args.src_len
+    batch = {
+        "src": jax.random.randint(rng, (b, l), 4, args.vocab),
+        "src_len": jnp.full((b,), l, jnp.int32),
+        "tgt_in": jax.random.randint(rng, (b, l), 4, args.vocab),
+        "tgt_out": jax.random.randint(rng, (b, l), 4, args.vocab),
+        "tgt_mask": jnp.ones((b, l), jnp.float32),
+    }
+    tv = teacher.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
+    sv = student.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
+    task = nmt_task(student, teacher, tv)
+    tx = build_optimizer(TrainConfig(learning_rate=1e-3, clip_norm=5.0))
+
+    def make_loop(quant):
+        step = make_train_step(
+            task, tx, quant=quant, distill=DistillSpec(), donate=False
+        )
+        state0 = create_train_state(sv["params"], tx)
+
+        def chain(state, rng_, n):
+            def cond(c):
+                return c[0] < n
+
+            def body(c):
+                i, st, acc = c
+                st, m = step(st, batch, rng_)
+                return i + 1, st, acc + m["loss"]
+
+            return jax.lax.while_loop(
+                cond, body, (jnp.int32(0), state, 0.0)
+            )[2]
+
+        loop = jax.jit(chain)
+        return lambda n: loop(state0, jax.random.PRNGKey(1), n)
+
+    return make_loop(QuantSpec(bits=args.bits)), make_loop(None)
+
+
+def run_train(args):
+    q_loop, fp_loop = build_train(args)
+    t_q = time_path(q_loop, args.lo, args.hi, args.trials)
+    t_fp = time_path(fp_loop, args.lo, args.hi, args.trials)
+    tokens = args.batch * args.src_len
+    print(
+        json.dumps(
+            {
+                "metric": "wmt13_kd_4bit_ste_train_tokens_per_s_per_chip",
+                "value": round(tokens / t_q, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round(t_fp / t_q, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -122,14 +194,24 @@ def main():
     p.add_argument("--lo", type=int, default=4, help="short-chain decode count")
     p.add_argument("--hi", type=int, default=36, help="long-chain decode count")
     p.add_argument("--quick", action="store_true", help="tiny shapes for CPU smoke")
+    p.add_argument(
+        "--train", action="store_true",
+        help="bench the 4-bit STE KD train step instead of serving decode",
+    )
     args = p.parse_args()
     if args.quick:
         args.vocab, args.batch, args.src_len = 512, 8, 8
         args.trials, args.lo, args.hi = 2, 1, 3
+    if args.train:
+        if not args.quick:
+            # train steps are ~100x a decode step; shorter chains suffice
+            args.lo, args.hi = 2, 8
+        run_train(args)
+        return
 
     fp_loop, q_loop, src, src_len = build(args)
-    t_fp = time_path(fp_loop, src, src_len, args.lo, args.hi, args.trials)
-    t_q = time_path(q_loop, src, src_len, args.lo, args.hi, args.trials)
+    t_fp = time_path(lambda n: fp_loop(src, src_len, n), args.lo, args.hi, args.trials)
+    t_q = time_path(lambda n: q_loop(src, src_len, n), args.lo, args.hi, args.trials)
     tokens = args.batch * args.src_len
     tok_s_q = tokens / t_q
     tok_s_fp = tokens / t_fp

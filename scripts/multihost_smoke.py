@@ -26,15 +26,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PORT = 12787
 DEVS_PER_PROC = 2
 
 
-def worker(pid: int, nprocs: int) -> None:
+def worker(pid: int, nprocs: int, port: int) -> None:
     import jax
 
     jax.distributed.initialize(
-        f"localhost:{PORT}", num_processes=nprocs, process_id=pid
+        f"localhost:{port}", num_processes=nprocs, process_id=pid
     )
     import jax.numpy as jnp
     import numpy as np
@@ -104,11 +103,18 @@ def worker(pid: int, nprocs: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--port", type=int, default=0, help="0 = pick a free port")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.procs)
+        worker(args.worker, args.procs, args.port)
         return
+    if not args.port:
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            args.port = s.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -124,7 +130,8 @@ def main() -> None:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--procs", str(args.procs), "--worker", str(i)],
+             "--procs", str(args.procs), "--port", str(args.port),
+             "--worker", str(i)],
             env=env,
         )
         for i in range(args.procs)

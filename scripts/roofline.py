@@ -1,9 +1,19 @@
 """Per-kernel roofline verification (north-star: every dequant+matmul kernel
 roofline-verified per chip).
 
-Measures the fused dequant+matmul kernels against dense XLA baselines on the
-serving shapes (generator matmul of the WMT13 student: M = batch*beam,
-K = hidden, N = vocab) and prints achieved FLOP/s + HBM bandwidth vs peaks.
+Measures the fused dequant+matmul kernels against dense XLA baselines on
+EVERY packed-kernel shape the serving path dispatches (see
+serve/infer.py::_decode_body), and prints achieved FLOP/s + HBM bandwidth vs
+peaks:
+
+- generator:   [M, H]      x [H, Vpad]   (the fused top-k kernel's home)
+- LSTM cell 0: [M, E+2H]   x [E+2H, 4H]  (embed+feed+h -> gates)
+- LSTM cell 1: [M, 2H]     x [2H, 4H]
+- attn_out:    [M, 2H]     x [2H, H]     (context|h -> attn_h)
+
+Default dims are the WMT13 student_medium serving operating point
+(M = batch 64 x beam 5, E = H = 256, V = 32000). ``--m/--k/--n`` bench one
+custom generator-family shape instead.
 
 Run on TPU: python scripts/roofline.py
 """
@@ -20,19 +30,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+BYTE_NOTE = """\
+NOTE byte accounting is per-path (what actually crosses HBM), so the GB/s
+column is NOT comparable across rows: dense baselines count weight bytes
+only (the jnp.sum consumer fuses the [M, N] product away, flattering their
+GB/s), pallas dequant rows count packed weights + their REAL [M, Npad] f32
+output write, and the fused top-k row counts packed weights + [M, 128]x3
+stats (no logits ever reach HBM)."""
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--m", type=int, default=320, help="batch*beam rows")
-    ap.add_argument("--k", type=int, default=256, help="hidden (reduction)")
-    ap.add_argument("--n", type=int, default=32000, help="vocab (output)")
-    ap.add_argument("--trials", type=int, default=5)
-    args = ap.parse_args()
 
+def run_shape(title, m, k, n, trials, topk=False):
     from quantized_distillation_tpu.kernels import dequant_matmul, pack_linear
     from quantized_distillation_tpu.utils.profiling import measure, roofline
 
-    m, k, n = args.m, args.k, args.n
+    print(f"\n== {title}: [{m}, {k}] x [{k}, {n}] ==", flush=True)
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
@@ -40,20 +51,10 @@ def main():
     wb = w.astype(jnp.bfloat16)
 
     flops = 2.0 * m * k * n
-
     results = []
 
-    # Byte accounting is per-path (what actually crosses HBM):
-    # - dense baselines: weight bytes only — the jnp.sum consumer fuses, the
-    #   [m, n] product never reaches HBM, and XLA hoists loop-invariant
-    #   weight conversion, so the f32 label reflects default-precision
-    #   (bf16-converted) practice;
-    # - plain pallas dequant_matmul: packed weight bytes + the full [m, npad]
-    #   f32 OUTPUT write (it is a real kernel output — measured to dominate
-    #   at vocab widths; this is exactly what the fused top-k kernel removes);
-    # - fused top-k: packed weight bytes + [m, 128]x3 stats only.
     def bench(name, body, bytes_moved):
-        t = measure(body, trials=args.trials)
+        t = measure(body, trials=trials)
         r = roofline(name, t, flops, bytes_moved + 4.0 * m * k)
         results.append(r)
         print(r.line(), flush=True)
@@ -95,25 +96,52 @@ def main():
         * 1e-9,
         k * n / 2.0 + 4.0 * m * pc.n_padded,
     )
-    # fused generator kernel: logits never reach HBM — output is [m, k_top]x3
-    from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
-    from quantized_distillation_tpu.serve.sharded import pack_generator_sharded
+    if topk:
+        # fused generator kernel: logits never reach HBM — out is [m, 128]x3
+        from quantized_distillation_tpu.kernels.topk_fused import (
+            dequant_matmul_topk,
+        )
+        from quantized_distillation_tpu.serve.sharded import (
+            pack_generator_sharded,
+        )
 
-    pt = pack_generator_sharded(
-        w, jnp.zeros((n,), jnp.float32), 4, mp=1, max_group=16
-    )
-    bench(
-        "pallas int4+topk5+lse",
-        lambda c: (
-            lambda o: (jnp.sum(o[0]) + jnp.sum(o[2])) * 1e-9
-        )(dequant_matmul_topk(x + c, pt, 5, compute_dtype=jnp.bfloat16)),
-        k * n / 2.0 + 12.0 * m * 128,
-    )
+        pt = pack_generator_sharded(
+            w, jnp.zeros((n,), jnp.float32), 4, mp=1, max_group=16
+        )
+        bench(
+            "pallas int4+topk5+lse",
+            lambda c: (
+                lambda o: (jnp.sum(o[0]) + jnp.sum(o[2])) * 1e-9
+            )(dequant_matmul_topk(x + c, pt, 5, compute_dtype=jnp.bfloat16)),
+            k * n / 2.0 + 12.0 * m * 128,
+        )
 
     base = results[0].seconds
-    print("\nspeedup vs dense f32:")
+    print("speedup vs dense f32:")
     for r in results:
         print(f"  {r.name}: {base / r.seconds:.2f}x")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=0, help="custom rows (0 = suite)")
+    ap.add_argument("--k", type=int, default=256, help="custom hidden")
+    ap.add_argument("--n", type=int, default=32000, help="custom vocab")
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--rows", type=int, default=320, help="suite batch*beam")
+    ap.add_argument("--hidden", type=int, default=256, help="suite E = H")
+    ap.add_argument("--vocab", type=int, default=32000)
+    args = ap.parse_args()
+
+    print(BYTE_NOTE, flush=True)
+    if args.m:
+        run_shape("custom", args.m, args.k, args.n, args.trials, topk=True)
+        return
+    m, h, e, v = args.rows, args.hidden, args.hidden, args.vocab
+    run_shape("generator", m, h, v, args.trials, topk=True)
+    run_shape("lstm cell 0 (embed+feed+h -> gates)", m, e + 2 * h, 4 * h, args.trials)
+    run_shape("lstm cell 1 (x+h -> gates)", m, 2 * h, 4 * h, args.trials)
+    run_shape("attn_out (context|h -> attn_h)", m, 2 * h, h, args.trials)
 
 
 if __name__ == "__main__":
