@@ -108,38 +108,62 @@ def time_path(fn, lo, hi, trials):
 
 
 def build_train(args):
-    """4-bit STE knowledge-distillation train step (teacher 2x500, student
-    per --preset) on a synthetic WMT-shaped batch; n chained steps run
-    inside ONE jitted while_loop (the state dependency serializes them)."""
+    """4-bit STE knowledge-distillation train step on synthetic data; n
+    chained steps run inside ONE jitted while_loop (the state dependency
+    serializes them). ``--family seq2seq``: teacher 2x500 -> student
+    --preset on a WMT-shaped batch. ``--family wrn``: WRN-28-10 teacher ->
+    WRN-16-2 student on CIFAR-100-shaped images (proves the full-size
+    teacher compiles and steps on one chip)."""
     from quantized_distillation_tpu.config import (
         DistillSpec, QuantSpec, TrainConfig,
     )
-    from quantized_distillation_tpu.models import make_seq2seq
     from quantized_distillation_tpu.train import (
         build_optimizer, create_train_state, make_train_step, nmt_task,
+        vision_task,
     )
 
-    teacher = make_seq2seq("teacher", args.vocab, args.vocab, dropout=0.0)
-    student = make_seq2seq(args.preset, args.vocab, args.vocab, dropout=0.0)
     rng = jax.random.PRNGKey(0)
     b, l = args.batch, args.src_len
-    batch = {
-        "src": jax.random.randint(rng, (b, l), 4, args.vocab),
-        "src_len": jnp.full((b,), l, jnp.int32),
-        "tgt_in": jax.random.randint(rng, (b, l), 4, args.vocab),
-        "tgt_out": jax.random.randint(rng, (b, l), 4, args.vocab),
-        "tgt_mask": jnp.ones((b, l), jnp.float32),
-    }
-    tv = teacher.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
-    sv = student.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
-    task = nmt_task(student, teacher, tv)
+    if args.family == "wrn":
+        from quantized_distillation_tpu.models import make_wrn
+
+        teacher = make_wrn("teacher" if not args.quick else "student_small",
+                           num_classes=100)
+        student = make_wrn("student_medium" if not args.quick else "student_small",
+                           num_classes=100)
+        batch = {
+            "image": jax.random.normal(rng, (b, 32, 32, 3), jnp.float32),
+            "label": jax.random.randint(rng, (b,), 0, 100),
+        }
+        tv = teacher.init(rng, batch["image"])
+        sv = student.init(jax.random.PRNGKey(1), batch["image"])
+        task = vision_task(student, teacher, tv)
+        n_items = b
+        extra = dict(batch_stats=sv.get("batch_stats"))
+    else:
+        from quantized_distillation_tpu.models import make_seq2seq
+
+        teacher = make_seq2seq("teacher", args.vocab, args.vocab, dropout=0.0)
+        student = make_seq2seq(args.preset, args.vocab, args.vocab, dropout=0.0)
+        batch = {
+            "src": jax.random.randint(rng, (b, l), 4, args.vocab),
+            "src_len": jnp.full((b,), l, jnp.int32),
+            "tgt_in": jax.random.randint(rng, (b, l), 4, args.vocab),
+            "tgt_out": jax.random.randint(rng, (b, l), 4, args.vocab),
+            "tgt_mask": jnp.ones((b, l), jnp.float32),
+        }
+        tv = teacher.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
+        sv = student.init(rng, batch["src"], batch["src_len"], batch["tgt_in"])
+        task = nmt_task(student, teacher, tv)
+        n_items = b * l
+        extra = {}
     tx = build_optimizer(TrainConfig(learning_rate=1e-3, clip_norm=5.0))
 
     def make_loop(quant):
         step = make_train_step(
             task, tx, quant=quant, distill=DistillSpec(), donate=False
         )
-        state0 = create_train_state(sv["params"], tx)
+        state0 = create_train_state(sv["params"], tx, **extra)
 
         def chain(state, rng_, n):
             def cond(c):
@@ -157,21 +181,137 @@ def build_train(args):
         loop = jax.jit(chain)
         return lambda n: loop(state0, jax.random.PRNGKey(1), n)
 
-    return make_loop(QuantSpec(bits=args.bits)), make_loop(None)
+    return make_loop(QuantSpec(bits=args.bits)), make_loop(None), n_items
 
 
 def run_train(args):
-    q_loop, fp_loop = build_train(args)
+    q_loop, fp_loop, n_items = build_train(args)
     t_q = time_path(q_loop, args.lo, args.hi, args.trials)
     t_fp = time_path(fp_loop, args.lo, args.hi, args.trials)
-    tokens = args.batch * args.src_len
+    name, unit = (
+        ("wrn2810_kd_4bit_ste_train_images_per_s_per_chip", "images/s")
+        if args.family == "wrn"
+        else ("wmt13_kd_4bit_ste_train_tokens_per_s_per_chip", "tokens/s")
+    )
     print(
         json.dumps(
             {
-                "metric": "wmt13_kd_4bit_ste_train_tokens_per_s_per_chip",
-                "value": round(tokens / t_q, 1),
-                "unit": "tokens/s",
+                "metric": name,
+                "value": round(n_items / t_q, 1),
+                "unit": unit,
                 "vs_baseline": round(t_fp / t_q, 3),
+            }
+        )
+    )
+
+
+def run_engine(args):
+    """Continuous-batching engine throughput at full occupancy + occupancy
+    under Poisson churn (north-star config 5).
+
+    Timing strategy for the engine's host loop (see module docstring for why
+    naive timing is impossible here): dispatches of the jitted chunk-step are
+    PIPELINED (device-resident args, no readback between them — exactly how a
+    production host drives it) and the per-dispatch overhead cancels via a
+    two-point estimate over the chunk size: wall(c) = I*(overhead + c*t_step)
+    + sync, so t_step = Δwall / (I*Δc). Engine tokens/s = max_slots / t_step,
+    directly comparable to the offline beam number (vs_baseline).
+    """
+    from quantized_distillation_tpu.config import BeamConfig, ServeConfig
+    from quantized_distillation_tpu.models import make_seq2seq
+    from quantized_distillation_tpu.serve.engine import TranslationEngine
+    from quantized_distillation_tpu.serve.infer import pack_decoder
+
+    model = make_seq2seq(args.preset, args.vocab, args.vocab)
+    rng = jax.random.PRNGKey(0)
+    s_slots = args.batch
+    src0 = jax.random.randint(rng, (s_slots, args.src_len), 4, args.vocab)
+    variables = model.init(
+        rng, src0, jnp.full((s_slots,), args.src_len, jnp.int32),
+        jnp.ones((s_slots, 2), jnp.int32),
+    )
+    use_pallas = jax.devices()[0].platform != "cpu"
+    rows = s_slots * args.beam
+    budget = 12 * 1024 * 1024
+    group = 16
+    while group > 1 and rows * group * 1024 > budget:
+        group //= 2
+    dec = pack_decoder(
+        variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
+        generator_group=group,
+    )
+    nprng = np.random.default_rng(0)
+    sents = [list(nprng.integers(4, args.vocab, args.src_len)) for _ in range(s_slots)]
+
+    lo_c, hi_c, iters = (1, 3, 2) if args.quick else (4, 32, 6)
+    t_big = 64 if args.quick else 4096
+    walls = {}
+    for chunk in (lo_c, hi_c):
+        cfg = ServeConfig(
+            max_slots=s_slots, max_src_len=args.src_len, max_tgt_len=t_big,
+            beam=BeamConfig(beam_size=args.beam, max_len=t_big),
+            admit_batch=16, chunk_steps=chunk,
+        )
+        eng = TranslationEngine(model, variables, cfg, packed_decoder=dec)
+        for s in sents:
+            eng.submit(s)
+        eng.step()  # admit + compile + warm
+        grid = eng._grid
+        t_vec = jnp.asarray(eng._slot_t)
+        active = jnp.ones((s_slots,), bool)
+        grid, t_vec, _, em = eng._step(grid, t_vec, active)
+        int(em)  # sync before timing
+        samples = []
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                grid, t_vec, _, em = eng._step(grid, t_vec, active)
+            assert int(em) > 0  # scalar readback syncs the pipeline
+            samples.append(time.perf_counter() - t0)
+        walls[chunk] = sorted(samples)[len(samples) // 2]
+    t_step = max((walls[hi_c] - walls[lo_c]) / (iters * (hi_c - lo_c)), 1e-9)
+    engine_tok_s = s_slots / t_step
+
+    # churn segment: Poisson arrivals at ~0.9 load, occupancy + correctness
+    t_churn = 16 if args.quick else 64
+    cfg = ServeConfig(
+        max_slots=s_slots, max_src_len=args.src_len, max_tgt_len=t_churn,
+        beam=BeamConfig(beam_size=args.beam, max_len=t_churn),
+        admit_batch=16, chunk_steps=4 if not args.quick else 1,
+    )
+    eng = TranslationEngine(model, variables, cfg, packed_decoder=dec)
+    n_req = 3 * s_slots
+    # per chunk the grid retires ~max_slots*chunk_steps tokens; at 0.9 load
+    # arrivals/chunk = 0.9 * slots * chunk / decode_len
+    lam = 0.9 * s_slots * cfg.chunk_steps / t_churn
+    arrivals = nprng.poisson(lam, size=10 * n_req)
+    submitted = completed = 0
+    it = 0
+    while completed < n_req:
+        if submitted < n_req:
+            for _ in range(int(arrivals[min(it, len(arrivals) - 1)])):
+                if submitted < n_req:
+                    eng.submit(sents[submitted % s_slots])
+                    submitted += 1
+        completed += len(eng.step()) if (eng.pending or eng.active_slots) else 0
+        it += 1
+        assert it < 100000
+    occupancy = eng.tokens_emitted / max(eng.steps_run * s_slots, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_continuous_batching_tokens_per_s_per_chip",
+                "value": round(engine_tok_s, 1),
+                "unit": "tokens/s",
+                # vs the offline chained-beam number from the default mode
+                # (pass --offline-tok-s from its output)
+                "vs_baseline": (
+                    round(engine_tok_s / args.offline_tok_s, 3)
+                    if args.offline_tok_s else None
+                ),
+                "occupancy_at_0.9_load": round(float(occupancy), 3),
+                "requests_churned": n_req,
             }
         )
     )
@@ -198,10 +338,26 @@ def main():
         "--train", action="store_true",
         help="bench the 4-bit STE KD train step instead of serving decode",
     )
+    p.add_argument(
+        "--family", default="seq2seq", choices=("seq2seq", "wrn"),
+        help="--train model family (wrn = full WRN-28-10 teacher)",
+    )
+    p.add_argument(
+        "--engine", action="store_true",
+        help="bench the continuous-batching engine (throughput + churn)",
+    )
+    p.add_argument(
+        "--offline-tok-s", type=float, default=0.0,
+        help="offline beam tokens/s (default-mode output) for --engine's "
+        "vs_baseline ratio",
+    )
     args = p.parse_args()
     if args.quick:
         args.vocab, args.batch, args.src_len = 512, 8, 8
         args.trials, args.lo, args.hi = 2, 1, 3
+    if args.engine:
+        run_engine(args)
+        return
     if args.train:
         if not args.quick:
             # train steps are ~100x a decode step; shorter chains suffice
