@@ -140,6 +140,24 @@ def build_train(args):
         task = vision_task(student, teacher, tv)
         n_items = b
         extra = dict(batch_stats=sv.get("batch_stats"))
+    elif args.family == "lm":
+        from quantized_distillation_tpu.models import make_lm
+        from quantized_distillation_tpu.train import lm_task
+
+        vocab = 10000 if not args.quick else args.vocab  # PTB vocab
+        bptt = 35 if not args.quick else l
+        teacher = make_lm("teacher", vocab)  # Zaremba 2x650
+        student = make_lm("student_small" if args.quick else "student_medium",
+                          vocab)
+        batch = {
+            "input": jax.random.randint(rng, (b, bptt), 0, vocab),
+            "target": jax.random.randint(rng, (b, bptt), 0, vocab),
+        }
+        tv = teacher.init(rng, batch["input"], None)
+        sv = student.init(jax.random.PRNGKey(1), batch["input"], None)
+        task = lm_task(student, teacher, tv)
+        n_items = b * bptt
+        extra = {}
     else:
         from quantized_distillation_tpu.models import make_seq2seq
 
@@ -188,11 +206,11 @@ def run_train(args):
     q_loop, fp_loop, n_items = build_train(args)
     t_q = time_path(q_loop, args.lo, args.hi, args.trials)
     t_fp = time_path(fp_loop, args.lo, args.hi, args.trials)
-    name, unit = (
-        ("wrn2810_kd_4bit_ste_train_images_per_s_per_chip", "images/s")
-        if args.family == "wrn"
-        else ("wmt13_kd_4bit_ste_train_tokens_per_s_per_chip", "tokens/s")
-    )
+    name, unit = {
+        "wrn": ("wrn2810_kd_4bit_ste_train_images_per_s_per_chip", "images/s"),
+        "lm": ("ptb_lm_2x650_kd_4bit_ste_train_tokens_per_s_per_chip", "tokens/s"),
+        "seq2seq": ("wmt13_kd_4bit_ste_train_tokens_per_s_per_chip", "tokens/s"),
+    }[args.family]
     print(
         json.dumps(
             {
@@ -339,8 +357,9 @@ def main():
         help="bench the 4-bit STE KD train step instead of serving decode",
     )
     p.add_argument(
-        "--family", default="seq2seq", choices=("seq2seq", "wrn"),
-        help="--train model family (wrn = full WRN-28-10 teacher)",
+        "--family", default="seq2seq", choices=("seq2seq", "wrn", "lm"),
+        help="--train model family (wrn = full WRN-28-10 teacher, "
+        "lm = the 2x650 PTB LSTM teacher)",
     )
     p.add_argument(
         "--engine", action="store_true",

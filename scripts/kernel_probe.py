@@ -1,0 +1,111 @@
+"""Micro-probe for the fused dequant+matmul+top-k kernel (Weak-2 iteration).
+
+Times ONE kernel at the serving operating point (rows = batch*beam) with the
+two-point chained method, so kernel-variant A/B runs cost a single compile.
+
+  python scripts/kernel_probe.py            # fused top-k kernel
+  python scripts/kernel_probe.py --plain    # plain dequant_matmul
+  python scripts/kernel_probe.py --m 320
+
+Prints microseconds per call + achieved TFLOP/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=640, help="rows = batch*beam")
+    ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--n", type=int, default=32000)
+    ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--slots", type=int, default=2)
+    ap.add_argument("--group", type=int, default=16)
+    ap.add_argument("--certify", action="store_true")
+    ap.add_argument("--plain", action="store_true")
+    ap.add_argument("--lo", type=int, default=20)
+    ap.add_argument("--hi", type=int, default=120)
+    ap.add_argument("--trials", type=int, default=5)
+    args = ap.parse_args()
+
+    from quantized_distillation_tpu.kernels import dequant_matmul, pack_linear
+    from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
+    from quantized_distillation_tpu.serve.sharded import pack_generator_sharded
+
+    interp = jax.devices()[0].platform == "cpu"  # CPU smoke only
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((args.k, args.n)).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((args.m, args.k)).astype(np.float32))
+
+    if args.plain:
+        p = pack_linear(w, args.bits)
+
+        def body(x):
+            out = dequant_matmul(
+                x, p, compute_dtype=jnp.bfloat16, interpret=interp
+            )
+            # feed a [M, K]-shaped mix back so calls chain by data dependency
+            return x + 1e-12 * out[:, : args.k]
+
+    else:
+        p = pack_generator_sharded(
+            w, jnp.zeros((args.n,), jnp.float32), args.bits, mp=1,
+            max_group=args.group,
+        )
+
+        def body(x):
+            out = dequant_matmul_topk(
+                x, p, args.topk, compute_dtype=jnp.bfloat16,
+                slots=args.slots, certify=args.certify, interpret=interp,
+            )
+            return x + 1e-12 * (out[0].sum() + out[2].sum())
+
+    @jax.jit
+    def chain(x, n):
+        def cond(c):
+            return c[0] < n
+
+        def step(c):
+            i, xx = c
+            return i + 1, body(xx)
+
+        return jax.lax.while_loop(cond, step, (jnp.int32(0), x))[1].sum()
+
+    def run(n):
+        float(chain(x0, n))
+        samples = []
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            float(chain(x0, n))
+            samples.append(time.perf_counter() - t0)
+        return sorted(samples)
+
+    t_lo, t_hi = run(args.lo), run(args.hi)
+    ests = sorted(
+        (h - l) / (args.hi - args.lo) for h, l in zip(t_hi, t_lo)
+    )
+    t = max(ests[len(ests) // 2], 1e-12)
+    flops = 2.0 * args.m * args.k * args.n
+    kind = "plain" if args.plain else f"topk{args.topk}/slots{args.slots}" + (
+        "+cert" if args.certify else ""
+    )
+    print(
+        f"{kind} M={args.m} K={args.k} N={args.n} int{args.bits}: "
+        f"{t * 1e6:.1f} us/call, {flops / t / 1e12:.1f} TFLOP/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
