@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--group", type=int, default=16)
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--plain", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense bf16 matmul + XLA top_k/lse (no pallas)")
+    ap.add_argument("--dense-mm", action="store_true",
+                    help="dense bf16 matmul only (cell-shape comparison)")
     ap.add_argument("--lo", type=int, default=20)
     ap.add_argument("--hi", type=int, default=120)
     ap.add_argument("--trials", type=int, default=5)
@@ -49,7 +53,27 @@ def main():
     w = jnp.asarray(rng.standard_normal((args.k, args.n)).astype(np.float32))
     x0 = jnp.asarray(rng.standard_normal((args.m, args.k)).astype(np.float32))
 
-    if args.plain:
+    if args.dense_mm:
+        wb = w.astype(jnp.bfloat16)
+
+        def body(x):
+            out = jnp.dot(
+                x.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+            )
+            return x + 1e-12 * out[:, : args.k]
+
+    elif args.dense:
+        wb = w.astype(jnp.bfloat16)
+
+        def body(x):
+            logits = jnp.dot(
+                x.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+            )
+            v, i = jax.lax.top_k(logits, args.topk)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            return x + 1e-12 * (v.sum() + lse.sum() + i.sum())
+
+    elif args.plain:
         p = pack_linear(w, args.bits)
 
         def body(x):
@@ -98,8 +122,12 @@ def main():
     )
     t = max(ests[len(ests) // 2], 1e-12)
     flops = 2.0 * args.m * args.k * args.n
-    kind = "plain" if args.plain else f"topk{args.topk}/slots{args.slots}" + (
-        "+cert" if args.certify else ""
+    kind = (
+        "dense-mm" if args.dense_mm
+        else "dense+topk+lse" if args.dense
+        else "plain" if args.plain
+        else f"topk{args.topk}/slots{args.slots}"
+        + ("+cert" if args.certify else "")
     )
     print(
         f"{kind} M={args.m} K={args.k} N={args.n} int{args.bits}: "
