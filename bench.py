@@ -45,13 +45,10 @@ def build(args):
     # generator_group: the fused kernel's VMEM logits tile is
     # rows*group*1024 bytes vs a ~16MB scoped budget (see pack_decoder).
     use_pallas = jax.devices()[0].platform != "cpu"
-    rows = args.batch * args.beam
-    # largest power-of-two group whose rows*group*1024-byte logits tile fits
-    # a ~12MB VMEM budget (16MB scoped minus weights/scratch headroom)
-    budget = 12 * 1024 * 1024
-    group = 16
-    while group > 1 and rows * group * 1024 > budget:
-        group //= 2
+    # group from the kernel's own VMEM budget rule
+    from quantized_distillation_tpu.kernels import pick_generator_group
+
+    group = pick_generator_group(args.batch * args.beam)
     dec = pack_decoder(
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,
@@ -249,11 +246,9 @@ def run_engine(args):
         jnp.ones((s_slots, 2), jnp.int32),
     )
     use_pallas = jax.devices()[0].platform != "cpu"
-    rows = s_slots * args.beam
-    budget = 12 * 1024 * 1024
-    group = 16
-    while group > 1 and rows * group * 1024 > budget:
-        group //= 2
+    from quantized_distillation_tpu.kernels import pick_generator_group
+
+    group = pick_generator_group(s_slots * args.beam)
     dec = pack_decoder(
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,

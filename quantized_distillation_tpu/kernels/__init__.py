@@ -6,7 +6,11 @@ dequant fused into the matmuls).
 """
 
 from .dequant_matmul import dequant_matmul, dequant_matmul_reference
-from .topk_fused import dequant_matmul_topk, dequant_matmul_topk_reference
+from .topk_fused import (
+    dequant_matmul_topk,
+    dequant_matmul_topk_reference,
+    pick_generator_group,
+)
 from .packed import BUCKET, PackedLinear, dequantize_linear, pack_linear, plane_unpack
 
 __all__ = [
@@ -14,6 +18,7 @@ __all__ = [
     "dequant_matmul_reference",
     "dequant_matmul_topk",
     "dequant_matmul_topk_reference",
+    "pick_generator_group",
     "BUCKET",
     "PackedLinear",
     "dequantize_linear",

@@ -227,6 +227,21 @@ def _sublane(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
+def pick_generator_group(
+    rows: int, budget_bytes: int = 12 * 1024 * 1024, max_group: int = 16
+) -> int:
+    """Largest power-of-two buckets-per-grid-step whose [rows, group*256] f32
+    logits-tile scratch fits ``budget_bytes`` (default 12MB = the 16MB scoped
+    VMEM limit minus headroom for x, weight blocks, and survivors). Compute
+    the group from the budget directly instead of guessing a ladder —
+    rows=640 (B=128 x beam 5) still gets the measured-fastest group=16;
+    rows > ~768 halves it."""
+    group = max_group
+    while group > 1 and rows * group * BUCKET * 4 > budget_bytes:
+        group //= 2
+    return group
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -99,7 +99,7 @@ def pack_decoder(
     ``generator_group`` caps buckets/grid-step for the fused vocab kernel.
     16 is fastest for B*beam rows <= ~640; the kernel's VMEM logits-tile
     scratch is ``rows * group * 256 * 4`` bytes against a ~16MB scoped
-    budget, so halve it (8, then 4) for larger serving batches.
+    budget — size it with :func:`kernels.pick_generator_group`.
     """
     dec = params["decoder"]
     cells = []

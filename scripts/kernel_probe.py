@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--slots", type=int, default=2)
-    ap.add_argument("--group", type=int, default=16)
+    ap.add_argument(
+        "--group", type=int, default=0,
+        help="buckets/grid-step; 0 = auto from the kernel's VMEM budget",
+    )
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--plain", action="store_true")
     ap.add_argument("--dense", action="store_true",
@@ -44,9 +47,14 @@ def main():
     ap.add_argument("--trials", type=int, default=5)
     args = ap.parse_args()
 
-    from quantized_distillation_tpu.kernels import dequant_matmul, pack_linear
+    from quantized_distillation_tpu.kernels import (
+        dequant_matmul, pack_linear, pick_generator_group,
+    )
     from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
     from quantized_distillation_tpu.serve.sharded import pack_generator_sharded
+
+    if not args.group:
+        args.group = pick_generator_group(args.m)
 
     interp = jax.devices()[0].platform == "cpu"  # CPU smoke only
     rng = np.random.default_rng(0)
