@@ -147,7 +147,10 @@ K_TILE_MAX = 2048  # largest reduction slab kept whole in VMEM
 
 def pick_k_tile(k: int, k_tile: Optional[int]) -> int:
     """Reduction-dim tile: explicit (must divide K, multiple of 8) or the
-    largest power-of-two split of K that fits the VMEM slab budget."""
+    largest power-of-two split of K that fits the VMEM slab budget; if the
+    power-of-two ladder bottoms out above the budget (odd factor, e.g.
+    K=2^a*odd), fall back to the largest 8-aligned divisor <= K_TILE_MAX
+    rather than silently keeping a >K_TILE_MAX slab in VMEM."""
     if k_tile is not None:
         if k % k_tile or k_tile % 8:
             raise ValueError(f"k_tile={k_tile} must divide K={k} and be 8-aligned")
@@ -155,6 +158,13 @@ def pick_k_tile(k: int, k_tile: Optional[int]) -> int:
     tk = k
     while tk > K_TILE_MAX and tk % 2 == 0:
         tk //= 2
+    if tk > K_TILE_MAX:
+        for d in range(K_TILE_MAX, 0, -8):
+            if k % d == 0:
+                return d
+        raise ValueError(
+            f"K={k} has no 8-aligned divisor <= {K_TILE_MAX}; pad K or pass k_tile"
+        )
     return tk
 
 

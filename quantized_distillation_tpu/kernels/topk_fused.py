@@ -235,9 +235,16 @@ def pick_generator_group(
     VMEM limit minus headroom for x, weight blocks, and survivors). Compute
     the group from the budget directly instead of guessing a ladder —
     rows=640 (B=128 x beam 5) still gets the measured-fastest group=16;
-    rows > ~768 halves it."""
+    rows > ~768 halves it.
+
+    The budget is computed from the PADDED row count (the kernel allocates
+    its logits scratch at rows rounded up to the f32 sublane of 8), so the
+    model matches the real tile even just under a ladder boundary. Note
+    low-bit packing can still override the pick upward: ``packed.bucket_group``
+    clamps 2-bit groups to >= 2 so a group spans whole bytes."""
+    rows_padded = -(-rows // _sublane(jnp.float32)) * _sublane(jnp.float32)
     group = max_group
-    while group > 1 and rows * group * BUCKET * 4 > budget_bytes:
+    while group > 1 and rows_padded * group * BUCKET * 4 > budget_bytes:
         group //= 2
     return group
 

@@ -80,24 +80,28 @@ class CommBudget:
 
 
 def _axis_of_groups(groups: List[List[int]], mesh) -> str:
-    """Which mesh axis a replica-group pattern communicates over."""
-    coords = {}  # device id -> (data_idx, model_idx)
-    arr = mesh.devices
-    for di in range(arr.shape[0]):
-        for mi in range(arr.shape[1]):
-            coords[arr[di, mi].id] = (di, mi)
-    same_data = all(
-        len({coords[d][0] for d in g if d in coords}) <= 1 for g in groups
-    )
-    same_model = all(
-        len({coords[d][1] for d in g if d in coords}) <= 1 for g in groups
-    )
-    if same_data and not same_model:
-        return MODEL_AXIS
-    if same_model and not same_data:
-        return DATA_AXIS
-    if same_data and same_model:
+    """Which mesh axis a replica-group pattern communicates over.
+
+    Works for any mesh rank: each device id is mapped to its N-D coordinate
+    in ``mesh.devices``; the collective is attributed to the single mesh axis
+    its groups vary along, or ``'mixed'`` if they span several axes.
+    """
+    arr = np.asarray(mesh.devices)
+    coords = {}  # device id -> N-D mesh coordinate
+    for idx in np.ndindex(arr.shape):
+        coords[arr[idx].id] = idx
+    varying: set = set()
+    for g in groups:
+        cs = [coords[d] for d in g if d in coords]
+        if len(cs) <= 1:
+            continue
+        for ax in range(arr.ndim):
+            if len({c[ax] for c in cs}) > 1:
+                varying.add(ax)
+    if not varying:
         return "unknown"  # singleton groups
+    if len(varying) == 1:
+        return str(mesh.axis_names[varying.pop()])
     return "mixed"
 
 
@@ -111,7 +115,8 @@ def collective_budget(compiled, mesh) -> CommBudget:
     budget = CommBudget()
     for line in text.splitlines():
         stripped = line.strip()
-        m = re.match(r"%?[\w.\-]+\s*=\s*(.*)", stripped)
+        # "ROOT %name = ..." — a collective can be the computation root
+        m = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.*)", stripped)
         if not m:
             continue
         rhs = m.group(1)

@@ -17,6 +17,7 @@ from .trainer import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    preferred_grad_reduce_dtype,
 )
 
 __all__ = [
@@ -41,4 +42,5 @@ __all__ = [
     "create_train_state",
     "make_eval_step",
     "make_train_step",
+    "preferred_grad_reduce_dtype",
 ]

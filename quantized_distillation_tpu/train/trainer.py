@@ -175,12 +175,53 @@ def make_train_step(
     mode: str = "weights",
     donate: bool = True,
     bits_map: Optional[Dict[str, int]] = None,
+    mesh=None,
+    grad_reduce_dtype=None,
 ):
     """Build the compiled train step: (state, batch, rng) -> (state, metrics).
 
     ``bits_map`` (from :mod:`.bits`) gives per-layer bit-widths for
     mixed-precision quantized training.
+
+    ``grad_reduce_dtype`` (requires ``mesh``): perform the data-parallel
+    gradient all-reduce in a narrower dtype (bf16 halves the DCN wire bytes
+    per step — the implemented lever behind the >=85% 1→2-host scaling gate,
+    BASELINE.md). Mechanism: the gradient computation runs under a
+    ``shard_map`` manual over the ``data`` axis (any ``model`` axis stays
+    auto, so tensor-parallel shardings are preserved); each shard pre-scales
+    its local grads by 1/D, casts to ``grad_reduce_dtype``, and ``psum``s —
+    the collective the partitioner emits carries bf16 — then casts back so
+    optax still sees f32. Weight fake-quant uses the same rng on every shard
+    (shards must see identical quantized weights); dropout rng is folded per
+    shard. Masked losses average per-shard means (standard DP semantics:
+    equal-weight shards, not equal-weight tokens).
     """
+    from ..parallel.mesh import DATA_AXIS
+
+    if grad_reduce_dtype is not None and mesh is None:
+        raise ValueError("grad_reduce_dtype requires a mesh")
+
+    def loss_fn(trainable, state, batch, q_rng, dropout_rng):
+        # all traced inputs are explicit arguments (not closures) so the
+        # same function works under shard_map for the bf16-reduce path
+        tmp = _with_trainable(state, mode, trainable)
+        params = tmp.params if mode != "codebooks" else jax.lax.stop_gradient(
+            tmp.params
+        )
+        q_params = quantized_params(params, quant, tmp.codebooks, q_rng, bits_map)
+        variables = {"params": q_params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits, updates = task.student_forward(
+            variables, batch, True, {"dropout": dropout_rng}
+        )
+        teacher_logits = (
+            task.teacher_forward(batch) if task.teacher_forward else None
+        )
+        loss, metrics = task.loss_and_metrics(
+            logits, teacher_logits, batch, distill
+        )
+        return loss, (metrics, updates)
 
     def step_fn(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -188,28 +229,17 @@ def make_train_step(
         if state.carry is not None:
             batch = dict(batch, carry=jax.lax.stop_gradient(state.carry))
 
-        def loss_fn(trainable):
-            tmp = _with_trainable(state, mode, trainable)
-            params = tmp.params if mode != "codebooks" else jax.lax.stop_gradient(
-                tmp.params
+        if grad_reduce_dtype is not None:
+            loss, metrics, updates, grads = _reduced_precision_grads(
+                loss_fn, _trainable(state, mode),
+                state.replace(carry=None), batch, q_rng, dropout_rng,
+                mesh, DATA_AXIS, grad_reduce_dtype,
             )
-            q_params = quantized_params(params, quant, tmp.codebooks, q_rng, bits_map)
-            variables = {"params": q_params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-            logits, updates = task.student_forward(
-                variables, batch, True, {"dropout": dropout_rng}
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (metrics, updates)), grads = grad_fn(
+                _trainable(state, mode), state, batch, q_rng, dropout_rng
             )
-            teacher_logits = (
-                task.teacher_forward(batch) if task.teacher_forward else None
-            )
-            loss, metrics = task.loss_and_metrics(
-                logits, teacher_logits, batch, distill
-            )
-            return loss, (metrics, updates)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (metrics, updates)), grads = grad_fn(_trainable(state, mode))
         opt_updates, new_opt_state = tx.update(
             grads, state.opt_state, _trainable(state, mode)
         )
@@ -227,6 +257,79 @@ def make_train_step(
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def preferred_grad_reduce_dtype():
+    """bf16 on TPU (full f32 exponent range, native all-reduce support);
+    f16 on CPU. The CPU fallback exists because this jaxlib's CPU backend
+    crashes compiling any bf16 all-reduce (XLA ``AllReducePromotion`` check
+    failure, "Invalid binary instruction opcode copy") — f16 compiles, runs,
+    and carries the identical 2 bytes/element on the wire, so CPU tests and
+    the comm-budget scripts measure the true byte halving.
+    """
+    return jnp.float16 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
+def _reduced_precision_grads(
+    loss_fn, trainable, state, batch, q_rng, dropout_rng, mesh, data_axis, rdtype
+):
+    """Gradients with the data-axis all-reduce carried in ``rdtype``.
+
+    Manual ``shard_map`` over the data axis only — any other mesh axis
+    (tensor-parallel ``model``) stays auto, so XLA keeps partitioning the
+    per-shard forward/backward. Grads are pre-scaled by 1/D (the global
+    mean), cast to ``rdtype`` (this is what the wire carries), ``psum``'d,
+    then cast back to f32 for optax. bf16 shares f32's exponent range, so
+    the cast cannot overflow; the D-way bf16 accumulation noise is far below
+    SGD gradient noise (accuracy-neutrality is tested in
+    tests/test_trainer.py and demonstrated on the toy tasks in BASELINE.md).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[data_axis]
+
+    def body(trainable, state, batch, q_rng, dropout_rng):
+        # dropout differs per shard; weight fake-quant rng must NOT be
+        # folded (every shard has to see identical quantized weights)
+        dropout_rng = jax.random.fold_in(
+            dropout_rng, jax.lax.axis_index(data_axis)
+        )
+        (loss, (metrics, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable, state, batch, q_rng, dropout_rng)
+        grads = jax.lax.psum(
+            jax.tree.map(lambda g: (g / ndev).astype(rdtype), grads), data_axis
+        )
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        loss = jax.lax.pmean(loss, data_axis)
+        metrics = jax.lax.pmean(metrics, data_axis)
+        updates = dict(updates)
+        carry = updates.pop("carry", None)  # batch-aligned: stays sharded
+        if updates:
+            updates = jax.lax.pmean(updates, data_axis)
+        return loss, metrics, updates, carry, grads
+
+    kw = dict(
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis), P(), P()),
+        out_specs=(P(), P(), P(), P(data_axis), P()),
+        axis_names={data_axis},
+    )
+    try:
+        fn = shard_map(body, check_vma=False, **kw)
+    except TypeError:  # older shard_map spelling
+        fn = shard_map(body, check_rep=False, **kw)
+    loss, metrics, updates, carry, grads = fn(
+        trainable, state, batch, q_rng, dropout_rng
+    )
+    if carry is not None:
+        updates = dict(updates, carry=carry)
+    return loss, metrics, updates, grads
 
 
 def make_eval_step(

@@ -9,6 +9,7 @@ from quantized_distillation_tpu.config import DistillSpec, QuantSpec, TrainConfi
 from quantized_distillation_tpu.models import make_cnn, make_seq2seq
 from quantized_distillation_tpu.train import (
     build_optimizer,
+    preferred_grad_reduce_dtype,
     create_train_state,
     make_eval_step,
     make_train_step,
@@ -153,6 +154,117 @@ class TestNMTTraining:
         losses = []
         for _ in range(10):
             state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+
+class TestGradReduceDtype:
+    """Reduced-precision gradient all-reduce (the implemented lever behind the >=85%
+    scaling gate — round-2 VERDICT item 3)."""
+
+    def _nmt_setup(self):
+        # dropout=0 so the baseline jit path and the shard_map path are
+        # numerically comparable (same masks); batch of 8 shards 8 ways
+        student = make_seq2seq("student_small", 30, 40, dropout=0.0)
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.integers(3, 30, (8, 6)), jnp.int32)
+        src_len = jnp.full((8,), 6, jnp.int32)
+        tgt_in = jnp.asarray(rng.integers(3, 40, (8, 5)), jnp.int32)
+        tgt_out = jnp.asarray(rng.integers(3, 40, (8, 5)), jnp.int32)
+        batch = {
+            "src": src, "src_len": src_len, "tgt_in": tgt_in,
+            "tgt_out": tgt_out, "tgt_mask": jnp.ones_like(tgt_out, jnp.float32),
+        }
+        sv = student.init(jax.random.PRNGKey(1), src, src_len, tgt_in)
+        task = nmt_task(student)
+        return task, sv, batch
+
+    def test_bf16_reduce_matches_f32_path(self, devices):
+        from quantized_distillation_tpu.parallel.mesh import make_mesh
+        from quantized_distillation_tpu.parallel.sharding import place_batch
+
+        task, sv, batch = self._nmt_setup()
+        mesh = make_mesh(data=8, model=1, devices=devices)
+        quant = QuantSpec(bits=4)
+        tx = build_optimizer(TrainConfig(learning_rate=1e-2, optimizer="sgd"))
+        mk = lambda **kw: make_train_step(task, tx, quant=quant, donate=False, **kw)
+        s0 = create_train_state(sv["params"], tx, quant=quant)
+        s1 = create_train_state(sv["params"], tx, quant=quant)
+        rng = jax.random.PRNGKey(0)
+        sb = place_batch(batch, mesh)
+        s_base, m_base = mk()(s0, sb, rng)
+        s_bf16, m_bf16 = mk(mesh=mesh, grad_reduce_dtype=preferred_grad_reduce_dtype())(s1, sb, rng)
+        # loss identical (computed in f32 either way)
+        np.testing.assert_allclose(
+            float(m_base["loss"]), float(m_bf16["loss"]), rtol=1e-5
+        )
+        # SGD update = lr * grad: bf16 wire adds ~0.4% relative grad noise
+        for a, b in zip(jax.tree.leaves(s_base.params), jax.tree.leaves(s_bf16.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.05, atol=1e-4
+            )
+
+    def test_wire_bytes_halve(self, devices):
+        from quantized_distillation_tpu.parallel.comm import collective_budget
+        from quantized_distillation_tpu.parallel.mesh import DATA_AXIS, make_mesh
+        from quantized_distillation_tpu.parallel.sharding import (
+            batch_pspecs, to_named,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        task, sv, batch = self._nmt_setup()
+        mesh = make_mesh(data=8, model=1, devices=devices)
+        quant = QuantSpec(bits=4)
+        tx = build_optimizer(TrainConfig(learning_rate=1e-2, optimizer="sgd"))
+        state = create_train_state(sv["params"], tx, quant=quant)
+        rng = jax.random.PRNGKey(0)
+        bsh = to_named(batch_pspecs(batch), mesh)
+        rep = NamedSharding(mesh, P())
+
+        def data_bytes(step):
+            c = (
+                jax.jit(step.__wrapped__, donate_argnums=())
+                .lower(
+                    jax.tree.map(lambda x: jax.device_put(x, rep), state),
+                    jax.tree.map(
+                        lambda x, s: jax.device_put(x, s), batch, bsh
+                    ),
+                    jax.device_put(rng, rep),
+                )
+                .compile()
+            )
+            return collective_budget(c, mesh).bytes_by_axis().get(DATA_AXIS, 0)
+
+        base = make_train_step(task, tx, quant=quant, donate=False)
+        bf16 = make_train_step(
+            task, tx, quant=quant, donate=False,
+            mesh=mesh, grad_reduce_dtype=preferred_grad_reduce_dtype(),
+        )
+        b_full = data_bytes(base)
+        b_half = data_bytes(bf16)
+        assert b_full > 0 and b_half > 0
+        # the grad all-reduce dominates: expect ~2x fewer data-axis bytes
+        assert b_half < 0.65 * b_full, (b_half, b_full)
+
+    def test_bf16_reduce_trains(self, devices):
+        from quantized_distillation_tpu.parallel.mesh import make_mesh
+        from quantized_distillation_tpu.parallel.sharding import place_batch
+
+        task, sv, batch = self._nmt_setup()
+        mesh = make_mesh(data=8, model=1, devices=devices)
+        quant = QuantSpec(bits=4)
+        tx = build_optimizer(TrainConfig(learning_rate=5e-3, clip_norm=5.0))
+        state = create_train_state(sv["params"], tx, quant=quant)
+        step = make_train_step(
+            task, tx, quant=quant, donate=False,
+            mesh=mesh, grad_reduce_dtype=preferred_grad_reduce_dtype(),
+        )
+        sb = place_batch(batch, mesh)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(10):
+            state, m = step(state, sb, rng)
             losses.append(float(m["loss"]))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
