@@ -69,7 +69,6 @@ def _topk_kernel(
     out_i,
     out_lse,
     out_cert,
-    acc,
     vs_s,
     is_s,
     se_s,
@@ -86,21 +85,36 @@ def _topk_kernel(
 ):
     """Inputs per grid step j:
 
-    - ``x_ref`` [M, K] activations (f32),
-    - ``st_ref``/``ot_ref`` [nb, K] per-bucket scale/offset, read with a
-      dynamic *sublane* index (same trick as _uniform_kernel: the affine
-      folds into the activations; hoisting the offset term out as a padded
-      XLA matmul was tried and measured SLOWER — the extra [M, 128]-per-step
-      HBM reads cost more than the in-kernel lane reduction).
+    - ``x_ref`` [M, K] activations (f32), cast to ``compute_dtype`` ONCE per
+      step (the per-bucket affine is folded into the *weights* instead:
+      ``ws = levels * scale[:, b]`` is a [K, 256] VPU pass — 2.5x cheaper
+      than the [M, 256] activation-side multiply when M > K),
+    - ``st_ref``/``ot_ref`` [K, group] per-step scale/offset slabs
+      (TRANSPOSED from the PackedLinear layout so bucket b is a static lane
+      slice). The offset term ``Σ_k x[m,k]·o[b,k]`` for ALL buckets of the
+      step is ONE [M,K]x[K,group] MXU dot instead of ``group`` VPU
+      mul+reduce passes.
+
+    The per-bucket loop is software-pipelined: bucket ``b``'s MXU dot is
+    issued BEFORE bucket ``b-1``'s VPU select/lse stream, so Mosaic can run
+    the systolic array and the vector unit concurrently — the round-2 probe
+    showed the select stream (not the matmul) bounds this kernel at 67% of
+    the decode step.
+
+    Index tracking streams the scalar CHUNK id (vocab = chunk*128 + lane,
+    reconstructed at finalize) instead of a per-lane vocab-id vector, saving
+    a VPU add per chunk.
 
     Scratch: ``vs_s``/``is_s`` [M, slots*128] hold the per-lane-class top-s
     survivors; ``disc_s`` [M, 128] the largest value each lane class ever
-    discarded (the exactness-certificate bound).
+    discarded (the exactness-certificate bound). There is no logits-tile
+    scratch: tiles live as SSA values, two at a time (pipeline depth 1).
     """
     j = pl.program_id(0)
     m = x_ref.shape[0]
     c = group * BUCKET
     bpb = BUCKET * bits // 8
+    tpb = BUCKET // LANES  # 128-lane chunks per bucket
 
     @pl.when(j == 0)
     def _init():
@@ -110,9 +124,16 @@ def _topk_kernel(
         if certify:
             disc_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
 
-    # ---- 1. logits tile: fused dequant matmul
     x = x_ref[:]
-    for b in range(group):
+    xc = x.astype(compute_dtype)
+    # offset term for every bucket of this step in one MXU dot: [M, group]
+    off = jnp.dot(
+        x, ot_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def bucket_dot(b):
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
         if pts_ref is not None:
             vals = jnp.zeros(levels.shape, jnp.float32)
@@ -120,63 +141,72 @@ def _topk_kernel(
                 vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
         else:
             vals = levels
-        s_row = st_ref[pl.ds(j * group + b, 1), :]  # [1, K]
-        o_row = ot_ref[pl.ds(j * group + b, 1), :]  # [1, K]
-        xs = (x * s_row).astype(compute_dtype)
-        dot = jnp.dot(
-            xs,
-            vals.astype(compute_dtype),
+        ws = (vals * st_ref[:, b : b + 1]).astype(compute_dtype)
+        return jnp.dot(
+            xc, ws,
             preferred_element_type=jnp.float32,
             precision=_dot_precision(compute_dtype),
         )
-        acc[:, b * BUCKET : (b + 1) * BUCKET] = dot + jnp.sum(
-            x * o_row, axis=1, keepdims=True
-        )
-    tile = acc[:] + bias_ref[:]
-    col0 = j * c
-    if n_true < n_steps * c:
-        # mask grid padding (edge-padded duplicate columns must not win
-        # top-k or inflate the logsumexp). Skipped entirely (static branch)
-        # when the caller neg-bias-masked the padding instead (bias = -1e9
-        # on padded columns — see serve.sharded.pack_generator_sharded):
-        # saves 3 full-tile VPU passes per grid step.
-        col_in_tile = jax.lax.broadcasted_iota(jnp.int32, (m, c), 1)
-        tile = jnp.where(col_in_tile + col0 < n_true, tile, NEG)
 
-    # ---- 2. streaming per-lane-class top-s + logsumexp over 128-lane chunks
+    # running select state, loaded once per grid step
     vs = [vs_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
     iv = [is_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
     se = se_s[:]
     disc = disc_s[:] if certify else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
-    for t in range(c // LANES):
-        v = tile[:, t * LANES : (t + 1) * LANES]
-        idx = lane + (col0 + t * LANES)
-        # slot 0 doubles as the per-lane max for the streaming logsumexp:
-        # loser - winner, so ONE exp covers both branches:
-        #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
-        #   !upd:  se*exp(0)                + exp(v - max) = se + e
-        upd = v > vs[0]
-        winner = jnp.where(upd, v, vs[0])
-        loser = jnp.where(upd, vs[0], v)
-        e = jnp.exp(loser - winner)
-        se = jnp.where(upd, se * e + 1.0, se + e)
-        cur_i = jnp.where(upd, iv[0], idx)
-        vs[0] = winner
-        iv[0] = jnp.where(upd, idx, iv[0])
-        cur_v = loser
-        # the displaced value ripples down the remaining slots
-        for s_ in range(1, slots):
-            u = cur_v > vs[s_]
-            nv = jnp.where(u, cur_v, vs[s_])
-            ni = jnp.where(u, cur_i, iv[s_])
-            cur_v = jnp.where(u, vs[s_], cur_v)
-            cur_i = jnp.where(u, iv[s_], cur_i)
-            vs[s_], iv[s_] = nv, ni
-        # cur_v fell out of the kept set: certificate bound (when off, the
-        # dangling cur_v/cur_i of the last ripple iteration are dead code)
-        if certify:
-            disc = jnp.maximum(disc, cur_v)
+    mask_pad = n_true < n_steps * c
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1) if mask_pad else None
+    )
+
+    def select_bucket(b, tile_b):
+        nonlocal se, disc
+        off_b = off[:, b : b + 1]
+        for tt in range(tpb):
+            chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
+            v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
+                off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
+            )
+            if mask_pad:
+                # grid padding: edge-padded duplicate columns must not win
+                # top-k or inflate the logsumexp. Static branch — skipped
+                # when the caller neg-bias-masked the padding instead (see
+                # serve.sharded.pack_generator_sharded).
+                v = jnp.where(lane + chunk * LANES < n_true, v, NEG)
+            # slot 0 doubles as the per-lane max for the streaming
+            # logsumexp: loser - winner, so ONE exp covers both branches:
+            #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
+            #   !upd:  se*exp(0)                + exp(v - max) = se + e
+            upd = v > vs[0]
+            winner = jnp.maximum(v, vs[0])
+            loser = jnp.minimum(v, vs[0])
+            e = jnp.exp(loser - winner)
+            se = se * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
+            cur_i = jnp.where(upd, iv[0], chunk)
+            iv[0] = jnp.where(upd, chunk, iv[0])
+            vs[0] = winner
+            cur_v = loser
+            # the displaced value ripples down the remaining slots
+            for s_ in range(1, slots):
+                u = cur_v > vs[s_]
+                nv = jnp.maximum(cur_v, vs[s_])
+                ni = jnp.where(u, cur_i, iv[s_])
+                cur_v = jnp.minimum(cur_v, vs[s_])
+                cur_i = jnp.where(u, iv[s_], cur_i)
+                vs[s_], iv[s_] = nv, ni
+            # cur_v fell out of the kept set: certificate bound (when off,
+            # the dangling cur_v/cur_i of the last ripple are dead code)
+            if certify:
+                disc = jnp.maximum(disc, cur_v)
+
+    # software pipeline: issue dot(b) on the MXU, then stream select(b-1)
+    # on the VPU while it runs
+    prev_b, prev_tile = 0, bucket_dot(0)
+    for b in range(1, group):
+        tile_b = bucket_dot(b)
+        select_bucket(prev_b, prev_tile)
+        prev_b, prev_tile = b, tile_b
+    select_bucket(prev_b, prev_tile)
+
     for t in range(slots):
         vs_s[:, t * LANES : (t + 1) * LANES] = vs[t]
         is_s[:, t * LANES : (t + 1) * LANES] = iv[t]
@@ -184,13 +214,14 @@ def _topk_kernel(
     if certify:
         disc_s[:] = disc
 
-    # ---- 3. last step: pop global top-k from the [M, slots*128] survivors
+    # ---- last step: pop global top-k from the [M, slots*128] survivors
     @pl.when(j == n_steps - 1)
     def _finalize():
         cand = jnp.concatenate(vs, axis=1)  # [M, slots*128]
-        cidx = jnp.concatenate(iv, axis=1)
         width = slots * LANES
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, width), 1)
+        # survivors carry chunk ids; vocab id = chunk*128 + lane class
+        cidx = jnp.concatenate(iv, axis=1) * LANES + pos_iota % LANES
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
         buf_v = jnp.full((m, LANES), NEG, jnp.float32)
         buf_i = jnp.zeros((m, LANES), jnp.int32)
@@ -307,11 +338,14 @@ def dequant_matmul_topk(
     in_specs = [
         pl.BlockSpec((mpad, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((kk, group_bytes), lambda j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        # scale/offset transposed to [K, nb]: the kernel reads bucket b of
+        # step j as a static lane slice of a [K, group] slab (weight-side
+        # affine fold + one-dot offset term)
+        pl.BlockSpec((kk, bg), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kk, bg), lambda j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), lambda j: (0, j), memory_space=pltpu.VMEM),
     ]
-    operands = [xp, p.packed, p.scale, p.offset, bias_pad]
+    operands = [xp, p.packed, p.scale.T, p.offset.T, bias_pad]
     static_kw = dict(
         bits=p.bits,
         group=bg,
@@ -342,9 +376,8 @@ def dequant_matmul_topk(
         for _ in range(4)
     ]
     scratch = [
-        pltpu.VMEM((mpad, c), jnp.float32),  # logits tile
         pltpu.VMEM((mpad, slots * LANES), jnp.float32),  # top-s values
-        pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s indices
+        pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s chunk ids
         pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
         pltpu.VMEM((mpad, LANES), jnp.float32),  # discard bound (certificate)
     ]
