@@ -35,13 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def cnn_cell(teacher_pack, student_preset, bits, args):
-    """Distill one CNN student at the given bit width → hard-quant accuracy."""
+def vision_cell(make_fn, teacher_pack, student_preset, bits, args, label):
+    """Distill one vision student at the given bit width → hard-quant acc."""
     from quantized_distillation_tpu.config import (
         DistillSpec, QuantSpec, TrainConfig,
     )
     from quantized_distillation_tpu.data import batches
-    from quantized_distillation_tpu.models import make_cnn
     from quantized_distillation_tpu.train import (
         build_optimizer, create_train_state, make_eval_step, vision_task,
     )
@@ -56,7 +55,7 @@ def cnn_cell(teacher_pack, student_preset, bits, args):
         seed=args.seed, quant=quant, lr_schedule="cosine",
         distill=DistillSpec(weight=0.7, temperature=5.0),
     )
-    student = make_cnn(student_preset, num_classes=train_ds.num_classes)
+    student = make_fn(student_preset, num_classes=train_ds.num_classes)
     sv = student.init(jax.random.PRNGKey(args.seed + 1), jnp.zeros((1, 32, 32, 3)))
     task = vision_task(student, teacher, teacher_vars)
     steps_per_epoch = max(len(train_ds.labels) // args.batch, 1)
@@ -77,18 +76,27 @@ def cnn_cell(teacher_pack, student_preset, bits, args):
     )["accuracy"]
 
 
-def run_cnn_grid(args):
+def run_vision_grid(args, make_fn, teacher_preset, student_presets, label,
+                    bit_list=(None, 8, 4, 2), n_data=None):
+    """Bits × student-width grid for one vision family (CNN or WRN).
+
+    Family differences are just the model factory and presets: the CNN grid
+    uses the reference's full ``teacher`` preset (round-2 VERDICT weak #5 —
+    was a ``student_large`` stand-in); the WRN grid is gate G3's qualitative
+    demonstration (teacher WRN-28-10, students 16-2 vs 16-4) and is meant to
+    run on the TPU (WRN-28-10 fwd/bwd is impractical on CPU).
+    """
     from quantized_distillation_tpu.config import TrainConfig
     from quantized_distillation_tpu.data import batches, load_cifar
-    from quantized_distillation_tpu.models import make_cnn
     from quantized_distillation_tpu.train import (
         build_optimizer, create_train_state, make_eval_step, vision_task,
     )
     from quantized_distillation_tpu.train.loops import evaluate, fit
 
-    train_ds = load_cifar(100, True, "/nonexistent", args.cnn_data, args.seed)
-    test_ds = load_cifar(100, False, "/nonexistent", args.cnn_data // 4, args.seed)
-    teacher = make_cnn("student_large", num_classes=100)  # fast stand-in teacher
+    n_data = n_data or args.cnn_data
+    train_ds = load_cifar(100, True, "/nonexistent", n_data, args.seed)
+    test_ds = load_cifar(100, False, "/nonexistent", n_data // 4, args.seed)
+    teacher = make_fn(teacher_preset, num_classes=100)
     tv = teacher.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 32, 3)))
     tcfg = TrainConfig(epochs=args.teacher_epochs, learning_rate=args.lr,
                        batch_size=args.batch, seed=args.seed)
@@ -107,17 +115,37 @@ def run_cnn_grid(args):
         make_eval_step(ttask), tstate,
         batches(test_ds, args.batch, shuffle=False, drop_remainder=False),
     )["accuracy"]
-    print(f"[cnn] teacher (student_large preset) acc {tacc:.3f}", flush=True)
+    print(f"[{label}] teacher ({teacher_preset} preset) acc {tacc:.3f}",
+          flush=True)
 
     pack = (teacher, teacher_vars, train_ds, test_ds)
     grid = {}
-    for preset in ("student_small", "student_medium"):
-        for bits in (None, 8, 4, 2):
-            acc = cnn_cell(pack, preset, bits, args)
+    for preset in student_presets:
+        for bits in bit_list:
+            acc = vision_cell(make_fn, pack, preset, bits, args, label)
             grid[f"{preset}@{bits or 'fp32'}"] = round(float(acc), 4)
-            print(f"[cnn] {preset} bits={bits or 'fp32'}: acc {acc:.3f}",
+            print(f"[{label}] {preset} bits={bits or 'fp32'}: acc {acc:.3f}",
                   flush=True)
     return {"teacher_acc": round(float(tacc), 4), "cells": grid}
+
+
+def run_cnn_grid(args):
+    from quantized_distillation_tpu.models import make_cnn
+
+    return run_vision_grid(
+        args, make_cnn, args.cnn_teacher,
+        ("student_small", "student_medium"), "cnn",
+    )
+
+
+def run_wrn_grid(args):
+    from quantized_distillation_tpu.models import make_wrn
+
+    return run_vision_grid(
+        args, make_wrn, "teacher",  # WRN-28-10 (gate G3)
+        ("student_small", "student_medium"),  # 16-2 (narrow) vs 16-4 (wider)
+        "wrn", bit_list=(None, 4, 2), n_data=args.wrn_data,
+    )
 
 
 def run_nmt_grid(args):
@@ -212,15 +240,27 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cnn-data", type=int, default=4096)
+    ap.add_argument("--wrn-data", type=int, default=2048)
     ap.add_argument("--nmt-data", type=int, default=6000)
+    ap.add_argument(
+        "--cnn-teacher", default="teacher",
+        help="CNN teacher preset (the reference's full 'teacher' by default; "
+        "'student_large' is the faster stand-in round 2 used)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-cnn", action="store_true")
     ap.add_argument("--skip-nmt", action="store_true")
+    ap.add_argument(
+        "--wrn", action="store_true",
+        help="run the WRN-28-10 grid (gate G3) — intended for TPU",
+    )
     args = ap.parse_args()
 
     out = {}
     if not args.skip_cnn:
         out["cnn_synthetic_cifar100"] = run_cnn_grid(args)
+    if args.wrn:
+        out["wrn_synthetic_cifar100"] = run_wrn_grid(args)
     if not args.skip_nmt:
         out["nmt_toy"] = run_nmt_grid(args)
 
@@ -236,6 +276,17 @@ def main():
         )
         checks["cnn_widening_recovers_2bit"] = bool(
             cnn["student_medium@2"] >= cnn["student_small@2"]
+        )
+    wrn = out.get("wrn_synthetic_cifar100", {}).get("cells", {})
+    if wrn:
+        checks["wrn_4bit_within_2pts_of_fp"] = bool(
+            wrn["student_small@4"] >= wrn["student_small@fp32"] - 0.02
+        )
+        checks["wrn_2bit_degrades_narrow"] = bool(
+            wrn["student_small@2"] <= wrn["student_small@4"]
+        )
+        checks["wrn_widening_recovers_2bit"] = bool(
+            wrn["student_medium@2"] >= wrn["student_small@2"]
         )
     nmt = out.get("nmt_toy", {}).get("cells", {})
     if nmt:
