@@ -31,13 +31,16 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-PARAMS_PATH = "/tmp/topk_divergence_params.msgpack"
-VOCAB = 2000  # large enough that several top-k ids can share a lane class
+VOCAB = 2000  # default; --vocab 32000 measures at the serving shape
 N_TRAIN = 8000
 SEED = 0
 PRESET = "student_small"
 HIDDEN, EMBED = 256, 128
 EPOCHS = 6
+
+
+def params_path():
+    return f"/tmp/topk_divergence_params_v{VOCAB}.msgpack"
 
 
 def build_corpus(n, seed):
@@ -87,7 +90,7 @@ def train_stage():
             tot += float(m["loss"])
             nb += 1
         print(f"train epoch {epoch} loss {tot / nb:.4f}", file=sys.stderr)
-    with open(PARAMS_PATH, "wb") as f:
+    with open(params_path(), "wb") as f:
         f.write(serialization.to_bytes(state.params))
 
 
@@ -117,7 +120,7 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
         jax.random.PRNGKey(0), jnp.asarray(b0["src"]),
         jnp.asarray(b0["src_len"]), jnp.asarray(b0["tgt_in"]),
     )
-    with open(PARAMS_PATH, "rb") as f:
+    with open(params_path(), "rb") as f:
         params = serialization.from_bytes(v0["params"], f.read())
     params = jax.tree.map(jnp.asarray, params)  # numpy -> device arrays
     variables = {"params": params}
@@ -230,14 +233,17 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
 
 
 if __name__ == "__main__":
+    if "--vocab" in sys.argv:  # serving-shape run: --vocab 32000
+        VOCAB = int(sys.argv[sys.argv.index("--vocab") + 1])
     if "--train" in sys.argv:  # MUST come first (the child would respawn)
         train_stage()
         sys.exit(0)
-    if not os.path.exists(PARAMS_PATH):
+    if not os.path.exists(params_path()):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--train"],
+            [sys.executable, os.path.abspath(__file__), "--train",
+             "--vocab", str(VOCAB)],
             env=env, check=True, cwd="/tmp",
         )
     measure_stage()
