@@ -269,17 +269,12 @@ def run_engine(args):
         for s in sents:
             eng.submit(s)
         eng.step()  # admit + compile + warm
-        grid = eng._grid
-        t_vec = jnp.asarray(eng._slot_t)
-        active = jnp.ones((s_slots,), bool)
-        grid, t_vec, _, em = eng._step(grid, t_vec, active)
-        int(em)  # sync before timing
+        assert eng.drive_chunks(1) > 0  # warm the chunk program + sync
         samples = []
         for _ in range(args.trials):
             t0 = time.perf_counter()
-            for _ in range(iters):
-                grid, t_vec, _, em = eng._step(grid, t_vec, active)
-            assert int(em) > 0  # scalar readback syncs the pipeline
+            em = eng.drive_chunks(iters)  # pipelined; readback at the end
+            assert em > 0
             samples.append(time.perf_counter() - t0)
         walls[chunk] = sorted(samples)[len(samples) // 2]
     t_step = max((walls[hi_c] - walls[lo_c]) / (iters * (hi_c - lo_c)), 1e-9)
@@ -300,16 +295,30 @@ def run_engine(args):
     arrivals = nprng.poisson(lam, size=10 * n_req)
     submitted = completed = 0
     it = 0
+    # steady-state window: from the first completion until submissions run
+    # out — excludes the ramp-up (empty grid filling) and the drain tail
+    # (slots emptying with nothing left to admit), which otherwise dominate
+    # short churn runs. Steady-state occupancy is bounded by the 0.9
+    # offered load; the gap to 0.9 is true admission/chunk-quantization loss.
+    ss_start = ss_end = None
     while completed < n_req:
         if submitted < n_req:
             for _ in range(int(arrivals[min(it, len(arrivals) - 1)])):
                 if submitted < n_req:
                     eng.submit(sents[submitted % s_slots])
                     submitted += 1
+            if submitted >= n_req and ss_end is None:
+                ss_end = (eng.steps_run, eng.tokens_emitted)
         completed += len(eng.step()) if (eng.pending or eng.active_slots) else 0
+        if completed and ss_start is None:
+            ss_start = (eng.steps_run, eng.tokens_emitted)
         it += 1
         assert it < 100000
     occupancy = eng.tokens_emitted / max(eng.steps_run * s_slots, 1)
+    if ss_start and ss_end and ss_end[0] > ss_start[0]:
+        ss_occ = (ss_end[1] - ss_start[1]) / ((ss_end[0] - ss_start[0]) * s_slots)
+    else:
+        ss_occ = occupancy
 
     print(
         json.dumps(
@@ -324,6 +333,8 @@ def run_engine(args):
                     if args.offline_tok_s else None
                 ),
                 "occupancy_at_0.9_load": round(float(occupancy), 3),
+                "steady_state_occupancy": round(float(ss_occ), 3),
+                "offered_load": 0.9,
                 "requests_churned": n_req,
             }
         )

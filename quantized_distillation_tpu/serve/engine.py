@@ -422,6 +422,34 @@ class TranslationEngine:
         self._results.extend(out)
         return out
 
+    def drive_chunks(self, n_chunks: int, force_active: bool = True) -> int:
+        """Advance the whole grid ``n_chunks`` compiled chunk dispatches with
+        NO host readback between them — device-resident pipelining, exactly
+        how a production host drives the engine — then sync on the last
+        chunk's emitted-token scalar and return it.
+
+        This is the public timing entry point (bench.py --engine): per-
+        dispatch relay overhead amortizes across the pipelined dispatches
+        and cancels in a two-point estimate over ``n_chunks``.
+
+        ``force_active=True`` treats every slot as live regardless of
+        completion bookkeeping (benchmark semantics: a full grid decoding
+        forever). Slot timers and completions are NOT updated; use
+        :meth:`step` for serving.
+        """
+        active = (
+            jnp.ones((self.cfg.max_slots,), bool)
+            if force_active
+            else jnp.asarray([r is not None for r in self._slot_req])
+        )
+        grid, t_vec = self._grid, jnp.asarray(self._slot_t)
+        em = jnp.int32(0)
+        for _ in range(n_chunks):
+            # grid is donated per dispatch; rebind so the engine stays valid
+            grid, t_vec, _, em = self._step(grid, t_vec, active)
+        self._grid = grid
+        return int(em)
+
     def run_until_drained(self, max_steps: int = 100000) -> List[Completion]:
         """Drive until queue and slots are empty; returns all completions."""
         out: List[Completion] = []
