@@ -89,11 +89,12 @@ def _topk_kernel(
       step (the per-bucket affine is folded into the *weights* instead:
       ``ws = levels * scale[:, b]`` is a [K, 256] VPU pass — 2.5x cheaper
       than the [M, 256] activation-side multiply when M > K),
-    - ``st_ref``/``ot_ref`` [K, group] per-step scale/offset slabs
-      (TRANSPOSED from the PackedLinear layout so bucket b is a static lane
-      slice). The offset term ``Σ_k x[m,k]·o[b,k]`` for ALL buckets of the
-      step is ONE [M,K]x[K,group] MXU dot instead of ``group`` VPU
-      mul+reduce passes.
+    - ``st_ref``/``ot_ref`` [1, K, group] per-step scale/offset slabs
+      (rearranged from the PackedLinear [nb, K] layout so bucket b is a
+      static lane slice; 3-D because Mosaic lane blocks must be 128-wide or
+      whole-dimension). The offset term ``Σ_k x[m,k]·o[b,k]`` for ALL
+      buckets of the step is ONE [M,K]x[K,group] MXU dot instead of
+      ``group`` VPU mul+reduce passes.
 
     The per-bucket loop is software-pipelined: bucket ``b``'s MXU dot is
     issued BEFORE bucket ``b-1``'s VPU select/lse stream, so Mosaic can run
@@ -126,9 +127,11 @@ def _topk_kernel(
 
     x = x_ref[:]
     xc = x.astype(compute_dtype)
+    slab_s = st_ref[0]  # [K, group] — this step's per-bucket scales
+    slab_o = ot_ref[0]
     # offset term for every bucket of this step in one MXU dot: [M, group]
     off = jnp.dot(
-        x, ot_ref[:],
+        x, slab_o,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -141,7 +144,7 @@ def _topk_kernel(
                 vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
         else:
             vals = levels
-        ws = (vals * st_ref[:, b : b + 1]).astype(compute_dtype)
+        ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
         return jnp.dot(
             xc, ws,
             preferred_element_type=jnp.float32,
@@ -335,17 +338,21 @@ def dequant_matmul_topk(
     n_steps = nb // bg
     c = bg * BUCKET
     group_bytes = c // f
+    # scale/offset rearranged to [n_steps, K, group]: the kernel reads
+    # bucket b of step j as a static lane slice of the step's [K, group]
+    # slab (weight-side affine fold + one-dot offset term). 3-D so the
+    # per-step block equals the full trailing dims — Mosaic requires lane
+    # blocks of 128 or whole-dimension, and group < 128.
+    st3 = p.scale.reshape(n_steps, bg, kk).transpose(0, 2, 1)
+    ot3 = p.offset.reshape(n_steps, bg, kk).transpose(0, 2, 1)
     in_specs = [
         pl.BlockSpec((mpad, kk), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((kk, group_bytes), lambda j: (0, j), memory_space=pltpu.VMEM),
-        # scale/offset transposed to [K, nb]: the kernel reads bucket b of
-        # step j as a static lane slice of a [K, group] slab (weight-side
-        # affine fold + one-dot offset term)
-        pl.BlockSpec((kk, bg), lambda j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kk, bg), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kk, bg), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kk, bg), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), lambda j: (0, j), memory_space=pltpu.VMEM),
     ]
-    operands = [xp, p.packed, p.scale.T, p.offset.T, bias_pad]
+    operands = [xp, p.packed, st3, ot3, bias_pad]
     static_kw = dict(
         bits=p.bits,
         group=bg,
