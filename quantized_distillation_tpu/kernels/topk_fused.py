@@ -69,6 +69,7 @@ def _topk_kernel(
     out_i,
     out_lse,
     out_cert,
+    acc2,
     vs_s,
     is_s,
     se_s,
@@ -108,8 +109,9 @@ def _topk_kernel(
 
     Scratch: ``vs_s``/``is_s`` [M, slots*128] hold the per-lane-class top-s
     survivors; ``disc_s`` [M, 128] the largest value each lane class ever
-    discarded (the exactness-certificate bound). There is no logits-tile
-    scratch: tiles live as SSA values, two at a time (pipeline depth 1).
+    discarded (the exactness-certificate bound). Logits tiles rotate
+    through a 2-deep [2, M, 256] scratch (pipeline depth 1) instead of the
+    old [M, group*256] slab — ~9MB less VMEM at the serving shape.
     """
     j = pl.program_id(0)
     m = x_ref.shape[0]
@@ -137,6 +139,9 @@ def _topk_kernel(
     )
 
     def bucket_dot(b):
+        # writes into the rotating 2-deep tile scratch: an EXPLICIT double
+        # buffer so at most two logits tiles are resident (value-passing
+        # tiles let the scheduler keep all `group` tiles live → VMEM OOM)
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
         if pts_ref is not None:
             vals = jnp.zeros(levels.shape, jnp.float32)
@@ -145,7 +150,7 @@ def _topk_kernel(
         else:
             vals = levels
         ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
-        return jnp.dot(
+        acc2[b % 2] = jnp.dot(
             xc, ws,
             preferred_element_type=jnp.float32,
             precision=_dot_precision(compute_dtype),
@@ -161,8 +166,9 @@ def _topk_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1) if mask_pad else None
     )
 
-    def select_bucket(b, tile_b):
+    def select_bucket(b):
         nonlocal se, disc
+        tile_b = acc2[b % 2]
         off_b = off[:, b : b + 1]
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
@@ -203,12 +209,11 @@ def _topk_kernel(
 
     # software pipeline: issue dot(b) on the MXU, then stream select(b-1)
     # on the VPU while it runs
-    prev_b, prev_tile = 0, bucket_dot(0)
+    bucket_dot(0)
     for b in range(1, group):
-        tile_b = bucket_dot(b)
-        select_bucket(prev_b, prev_tile)
-        prev_b, prev_tile = b, tile_b
-    select_bucket(prev_b, prev_tile)
+        bucket_dot(b)
+        select_bucket(b - 1)
+    select_bucket(group - 1)
 
     for t in range(slots):
         vs_s[:, t * LANES : (t + 1) * LANES] = vs[t]
@@ -383,6 +388,7 @@ def dequant_matmul_topk(
         for _ in range(4)
     ]
     scratch = [
+        pltpu.VMEM((2, mpad, BUCKET), jnp.float32),  # rotating logits tiles
         pltpu.VMEM((mpad, slots * LANES), jnp.float32),  # top-s values
         pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s chunk ids
         pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
@@ -400,6 +406,13 @@ def dequant_matmul_topk(
             flops=flops,
             bytes_accessed=xp.size * 4 + p.packed.size + 8 * p.scale.size,
             transcendentals=mpad * npad,
+        ),
+        # Mosaic's default scoped-VMEM limit is 16MB; v5e has far more
+        # physical VMEM, and the pipelined body (2-deep tile rotation +
+        # survivors + temporaries) peaks just above the default at the
+        # serving shape. 32MB keeps generous headroom on the hardware.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
