@@ -69,7 +69,8 @@ def _topk_kernel(
     out_i,
     out_lse,
     out_cert,
-    acc2,
+    acc_a,
+    acc_b,
     vs_s,
     is_s,
     se_s,
@@ -109,9 +110,9 @@ def _topk_kernel(
 
     Scratch: ``vs_s``/``is_s`` [M, slots*128] hold the per-lane-class top-s
     survivors; ``disc_s`` [M, 128] the largest value each lane class ever
-    discarded (the exactness-certificate bound). Logits tiles rotate
-    through a 2-deep [2, M, 256] scratch (pipeline depth 1) instead of the
-    old [M, group*256] slab — ~9MB less VMEM at the serving shape.
+    discarded (the exactness-certificate bound). Logits tiles alternate
+    between two [M, 256] scratches (pipeline depth 1) instead of the old
+    [M, group*256] slab — ~9MB less VMEM at the serving shape.
     """
     j = pl.program_id(0)
     m = x_ref.shape[0]
@@ -139,9 +140,12 @@ def _topk_kernel(
     )
 
     def bucket_dot(b):
-        # writes into the rotating 2-deep tile scratch: an EXPLICIT double
-        # buffer so at most two logits tiles are resident (value-passing
-        # tiles let the scheduler keep all `group` tiles live → VMEM OOM)
+        # writes into one of TWO disjoint tile scratches (even/odd bucket):
+        # an explicit double buffer so at most two logits tiles are resident
+        # (value-passing tiles let the scheduler keep all `group` tiles
+        # live → VMEM OOM), as separate refs so the scheduler can overlap
+        # bucket b's MXU dot with bucket b-1's VPU select without aliasing
+        # conservatism
         levels = _unpack_bucket(w_ref[:, b * bpb : (b + 1) * bpb], bits)
         if pts_ref is not None:
             vals = jnp.zeros(levels.shape, jnp.float32)
@@ -150,7 +154,8 @@ def _topk_kernel(
         else:
             vals = levels
         ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
-        acc2[b % 2] = jnp.dot(
+        tgt = acc_a if b % 2 == 0 else acc_b
+        tgt[:] = jnp.dot(
             xc, ws,
             preferred_element_type=jnp.float32,
             precision=_dot_precision(compute_dtype),
@@ -168,7 +173,7 @@ def _topk_kernel(
 
     def select_bucket(b):
         nonlocal se, disc
-        tile_b = acc2[b % 2]
+        tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
         off_b = off[:, b : b + 1]
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
@@ -388,7 +393,8 @@ def dequant_matmul_topk(
         for _ in range(4)
     ]
     scratch = [
-        pltpu.VMEM((2, mpad, BUCKET), jnp.float32),  # rotating logits tiles
+        pltpu.VMEM((mpad, BUCKET), jnp.float32),  # even-bucket logits tile
+        pltpu.VMEM((mpad, BUCKET), jnp.float32),  # odd-bucket logits tile
         pltpu.VMEM((mpad, slots * LANES), jnp.float32),  # top-s values
         pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s chunk ids
         pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
