@@ -274,12 +274,15 @@ def _sublane(dtype) -> int:
 def pick_generator_group(
     rows: int, budget_bytes: int = 12 * 1024 * 1024, max_group: int = 16
 ) -> int:
-    """Largest power-of-two buckets-per-grid-step whose [rows, group*256] f32
-    logits-tile scratch fits ``budget_bytes`` (default 12MB = the 16MB scoped
-    VMEM limit minus headroom for x, weight blocks, and survivors). Compute
-    the group from the budget directly instead of guessing a ladder —
-    rows=640 (B=128 x beam 5) still gets the measured-fastest group=16;
-    rows > ~768 halves it.
+    """Largest power-of-two buckets-per-grid-step under a VMEM-style budget.
+
+    Since the round-3 kernel rewrite the logits tiles no longer scale with
+    ``group`` (two rotating [rows, 256] scratches replaced the
+    [rows, group*256] slab), so this ladder is a conservative cap rather
+    than a hard VMEM constraint; it is kept because group=16 measures
+    fastest at the serving shape (102.5us vs 105.1us at group=32, M=640)
+    and halving for very large row counts bounds weight-block double
+    buffers and scheduler temporaries.
 
     The budget is computed from the PADDED row count (the kernel allocates
     its logits scratch at rows rounded up to the f32 sublane of 8), so the

@@ -38,6 +38,14 @@ def main():
     )
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--plain", action="store_true")
+    ap.add_argument(
+        "--step", choices=("cells", "nogen"), default=None,
+        help="time decode-STEP components instead of one kernel: 'cells' = "
+        "_decode_body only (LSTM cells + attention), 'nogen' = "
+        "_decode_body + fused top-k generator (the step minus beam "
+        "bookkeeping). Subtract from the headline per-step time to "
+        "attribute the remainder.",
+    )
     ap.add_argument("--dense", action="store_true",
                     help="dense bf16 matmul + XLA top_k/lse (no pallas)")
     ap.add_argument("--dense-mm", action="store_true",
@@ -61,6 +69,81 @@ def main():
     w = jnp.asarray(rng.standard_normal((args.k, args.n)).astype(np.float32))
     x0 = jnp.asarray(rng.standard_normal((args.m, args.k)).astype(np.float32))
 
+    if args.step:
+        from quantized_distillation_tpu.models import make_seq2seq
+        from quantized_distillation_tpu.serve.infer import (
+            _decode_body, encode_packed, pack_decoder,
+        )
+        from quantized_distillation_tpu.serve.beam import expand_to_beams
+
+        beam = 5
+        batch = args.m // beam
+        model = make_seq2seq("student_medium", args.n, args.n)
+        src = jnp.asarray(rng.integers(4, args.n, (batch, 24)), jnp.int32)
+        src_len = jnp.full((batch,), 24, jnp.int32)
+        variables = model.init(
+            jax.random.PRNGKey(0), src, src_len, jnp.ones((batch, 2), jnp.int32)
+        )
+        dec = pack_decoder(
+            variables["params"], model.cfg, args.bits,
+            use_pallas=not interp, generator_group=args.group,
+        )
+        keys, enc_out, enc_mask, st = encode_packed(
+            model, variables, dec, src, src_len
+        )
+        keys_b = jnp.repeat(keys, beam, axis=0)
+        enc_out_b = jnp.repeat(enc_out, beam, axis=0)
+        enc_mask_b = jnp.repeat(enc_mask, beam, axis=0)
+        state0 = expand_to_beams(st, beam)
+
+        def chain(n):
+            def cond(c):
+                return c[0] < n
+
+            def body(c):
+                i, state, tok = c
+                new_state, attn_h = _decode_body(
+                    dec, state, tok, keys_b, enc_out_b, enc_mask_b
+                )
+                if args.step == "nogen":
+                    v, ix, lse = dequant_matmul_topk(
+                        attn_h, dec.generator, args.topk,
+                        compute_dtype=dec.compute_dtype,
+                        slots=args.slots, interpret=interp,
+                    )
+                    tok = ix[:, 0]
+                else:
+                    tok = (tok + jnp.sum(attn_h[:, :1], axis=1).astype(jnp.int32) % 3) % args.n
+                return i + 1, new_state, tok
+
+            tok0 = jnp.zeros((args.m,), jnp.int32)
+            _, state, tok = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), state0, tok0)
+            )
+            return jnp.sum(tok) + jnp.sum(state[0][0][0])
+
+        loop = jax.jit(chain)
+        t = None
+        def run2(n):
+            float(loop(n))
+            samples = []
+            for _ in range(args.trials):
+                t0 = time.perf_counter()
+                float(loop(n))
+                samples.append(time.perf_counter() - t0)
+            return sorted(samples)
+
+        t_lo, t_hi = run2(args.lo * 24), run2(args.hi * 24)
+        ests = sorted(
+            (h - l) / ((args.hi - args.lo) * 24) for h, l in zip(t_hi, t_lo)
+        )
+        t = max(ests[len(ests) // 2], 1e-12)
+        print(
+            f"step:{args.step} M={args.m} vocab={args.n} int{args.bits}: "
+            f"{t * 1e6:.1f} us/step"
+        )
+        return
+
     if args.dense_mm:
         wb = w.astype(jnp.bfloat16)
 
@@ -68,7 +151,9 @@ def main():
             out = jnp.dot(
                 x.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
             )
-            return x + 1e-12 * out[:, : args.k]
+            # reduce over the FULL output: a column slice lets XLA dead-code
+            # the other 31k columns of the matmul (measured "993 TFLOP/s")
+            return x + 1e-12 * (jnp.sum(out, axis=1, keepdims=True) + out[:, : args.k])
 
     elif args.dense:
         wb = w.astype(jnp.bfloat16)
