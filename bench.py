@@ -257,7 +257,12 @@ def run_engine(args):
     sents = [list(nprng.integers(4, args.vocab, args.src_len)) for _ in range(s_slots)]
 
     lo_c, hi_c, iters = (1, 3, 2) if args.quick else (4, 32, 6)
-    t_big = 64 if args.quick else 4096
+    # serving-realistic target-length cap: the beam reorder gathers the
+    # whole [slots, beam, t_max] token history every step, so an oversized
+    # t_max (4096 in round 2) taxes every step ~26us/step at slots=128 —
+    # measured 0.70x offline; 256 still exceeds any chained-timing horizon
+    # (6*32 inner steps) and real WMT sentence lengths
+    t_big = 64 if args.quick else 256
     walls = {}
     for chunk in (lo_c, hi_c):
         cfg = ServeConfig(

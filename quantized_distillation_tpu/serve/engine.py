@@ -163,8 +163,13 @@ class TranslationEngine:
                 return enc_out, enc_out, enc_mask, st
 
             def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
+                # flax fallback: the model's attention expects row-expanded
+                # enc tensors; the grid stores them per-slot (the packed
+                # path folds beams itself), so expand here
                 return model.apply(
-                    variables, st, tokens, enc_out, enc_mask,
+                    variables, st, tokens,
+                    jnp.repeat(enc_out, k, axis=0),
+                    jnp.repeat(enc_mask, k, axis=0),
                     method=model.decode_step,
                 )
 
@@ -239,9 +244,10 @@ class TranslationEngine:
             def rep(x):
                 return jnp.repeat(x, k, axis=0)
 
-            enc_keys = enc_keys.at[rows].set(rep(keys_a), mode="drop")
-            enc_out = enc_out.at[rows].set(rep(enc_out_a), mode="drop")
-            enc_mask = enc_mask.at[rows].set(rep(enc_mask_a), mode="drop")
+            # enc tensors are per-slot (no beam expansion — see _empty_grid)
+            enc_keys = enc_keys.at[slots].set(keys_a, mode="drop")
+            enc_out = enc_out.at[slots].set(enc_out_a, mode="drop")
+            enc_mask = enc_mask.at[slots].set(enc_mask_a, mode="drop")
             new_dec = jax.tree.map(
                 lambda full, new: full.at[rows].set(rep(new), mode="drop"),
                 beam.decoder_state,
@@ -317,10 +323,12 @@ class TranslationEngine:
             finished=jnp.ones((s, k), bool),
             lengths=jnp.zeros((s, k), jnp.int32),
         )
+        # encoder tensors are per-SLOT (beams fold inside the decode body):
+        # k-times less grid memory and per-step attention HBM traffic
         return (
-            jnp.zeros((s * k, t_src, keys.shape[-1]), keys.dtype),
-            jnp.zeros((s * k, t_src, h), dtype),
-            jnp.zeros((s * k, t_src), bool),
+            jnp.zeros((s, t_src, keys.shape[-1]), keys.dtype),
+            jnp.zeros((s, t_src, h), dtype),
+            jnp.zeros((s, t_src), bool),
             beam,
         )
 

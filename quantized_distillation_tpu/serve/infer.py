@@ -195,7 +195,16 @@ def _decode_body(
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
 ) -> Tuple[DecoderState, jnp.ndarray]:
-    """Everything up to (but excluding) the generator → (state, attn_h)."""
+    """Everything up to (but excluding) the generator → (state, attn_h).
+
+    The encoder tensors' leading dim may be the full row count OR any
+    divisor of it (sentences, with rows = sentences × beams in k-blocks):
+    all beams of a sentence share its encoder outputs, so attention folds
+    the beam factor into the einsum batch and the per-step HBM read of
+    keys+context drops by ~the beam factor (measured ~31MB → ~6MB per step
+    at the serving shape — attention was the decode step's largest HBM
+    stream after the generator kernel eliminated the logits).
+    """
     states, input_feed = state
     x = dec.tgt_embed[token].astype(jnp.float32)
     x = jnp.concatenate([x, input_feed], axis=-1)
@@ -208,21 +217,22 @@ def _decode_body(
         h = jax.nn.sigmoid(zo) * jnp.tanh(c)
         new_states.append((c, h))
         x = h
-    # Luong attention on precomputed keys
+    # Luong attention on precomputed keys, beams folded per sentence
+    rows, hdim = x.shape
+    nsent = enc_keys.shape[0]
+    kb = rows // nsent  # beams per sentence (1 when enc is row-expanded)
+    q = x.reshape(nsent, kb, hdim).astype(dec.compute_dtype)
     scores = jnp.einsum(
-        "bh,bth->bt",
-        x.astype(dec.compute_dtype),
-        enc_keys,
-        preferred_element_type=jnp.float32,
+        "bkh,bth->bkt", q, enc_keys, preferred_element_type=jnp.float32
     )
-    scores = jnp.where(enc_mask, scores, -1e9)
+    scores = jnp.where(enc_mask[:, None, :], scores, -1e9)
     align = jax.nn.softmax(scores, axis=-1)
     context = jnp.einsum(
-        "bt,bth->bh",
+        "bkt,bth->bkh",
         align.astype(dec.compute_dtype),
         enc_out,
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(rows, enc_out.shape[-1])
     attn_h = jnp.tanh(_mm(jnp.concatenate([context, x], axis=-1), dec.attn_out, dec))
     return (tuple(new_states), attn_h), attn_h
 
@@ -289,21 +299,21 @@ def beam_search_packed(
     if fused_topk is None:
         fused_topk = k <= KMAX
     keys, enc_out, enc_mask, state = encode_packed(model, variables, dec, src, src_len)
-    keys_b = jnp.repeat(keys, k, axis=0)
-    enc_out_b = jnp.repeat(enc_out, k, axis=0)
-    enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
+    # encoder tensors stay per-SENTENCE (not beam-expanded): _decode_body
+    # folds the beam factor into the attention batch, cutting its per-step
+    # HBM read by ~k
     state_b = expand_to_beams(state, k)
 
     if fused_topk:
 
         def decode_cand(s, tokens):
             return packed_decode_step_topk(
-                dec, s, tokens, keys_b, enc_out_b, enc_mask_b, k
+                dec, s, tokens, keys, enc_out, enc_mask, k
             )
 
         return beam_decode(decode_cand, state_b, b, cfg, candidates=True)
 
     def decode_step(s, tokens):
-        return packed_decode_step(dec, s, tokens, keys_b, enc_out_b, enc_mask_b)
+        return packed_decode_step(dec, s, tokens, keys, enc_out, enc_mask)
 
     return beam_decode(decode_step, state_b, b, cfg)

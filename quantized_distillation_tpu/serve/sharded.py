@@ -214,13 +214,14 @@ def beam_search_sharded(
     from .infer import encode_packed
 
     keys, enc_out, enc_mask, state = encode_packed(model, variables, dec, src, src_len)
-    rep = lambda t: jnp.repeat(t, k, axis=0)
-    keys_b, enc_out_b, enc_mask_b = rep(keys), rep(enc_out), rep(enc_mask)
+    # enc tensors stay per-SENTENCE; _decode_body folds the beam factor into
+    # attention (B % data guarantees whole sentences per shard, so the
+    # per-shard rows remain whole k-blocks over the local sentences)
     state_b = expand_to_beams(state, k)
     rows = NamedSharding(mesh, P(DATA_AXIS))
-    keys_b = jax.device_put(keys_b, NamedSharding(mesh, P(DATA_AXIS, None, None)))
-    enc_out_b = jax.device_put(enc_out_b, NamedSharding(mesh, P(DATA_AXIS, None, None)))
-    enc_mask_b = jax.device_put(enc_mask_b, NamedSharding(mesh, P(DATA_AXIS, None)))
+    keys_b = jax.device_put(keys, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    enc_out_b = jax.device_put(enc_out, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    enc_mask_b = jax.device_put(enc_mask, NamedSharding(mesh, P(DATA_AXIS, None)))
     state_b = jax.tree.map(lambda t: jax.device_put(t, rows), state_b)
 
     sharded_step = make_sharded_decode_step_topk(dec, mesh, k)

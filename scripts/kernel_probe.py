@@ -91,9 +91,8 @@ def main():
         keys, enc_out, enc_mask, st = encode_packed(
             model, variables, dec, src, src_len
         )
-        keys_b = jnp.repeat(keys, beam, axis=0)
-        enc_out_b = jnp.repeat(enc_out, beam, axis=0)
-        enc_mask_b = jnp.repeat(enc_mask, beam, axis=0)
+        # enc tensors stay per-sentence (beams fold in the decode body)
+        keys_b, enc_out_b, enc_mask_b = keys, enc_out, enc_mask
         state0 = expand_to_beams(st, beam)
 
         def chain(n):
