@@ -203,8 +203,16 @@ def toy_corpus(
     min_len: int = 3,
     max_len: int = 12,
     seed: int = 0,
+    zipf: float = 0.0,
 ) -> ParallelCorpus:
-    """Deterministic reversal+relabel translation task (see module docstring)."""
+    """Deterministic reversal+relabel translation task (see module docstring).
+
+    ``zipf`` > 0 draws words from a power-law distribution (p ∝ rank^-zipf)
+    instead of uniform — at large vocabularies this matches real text's
+    head-heavy statistics, so a fixed-size corpus still teaches the model
+    its frequent words (uniform draws at 32k vocab give every word ~n*8/32k
+    occurrences and nothing is learnable).
+    """
     rng = np.random.default_rng(seed)
     n_words = vocab_size - len(SPECIALS)
     src_vocab = Vocab(SPECIALS + [f"s{i}" for i in range(n_words)])
@@ -212,10 +220,17 @@ def toy_corpus(
     # The bijection depends only on vocab_size, NOT on `seed`: train and test
     # splits drawn with different seeds must describe the same "language".
     perm = np.random.default_rng(vocab_size).permutation(n_words)
+    probs = None
+    if zipf > 0:
+        probs = 1.0 / np.arange(1, n_words + 1) ** zipf
+        probs /= probs.sum()
     src, tgt = [], []
     for _ in range(n):
         length = int(rng.integers(min_len, max_len + 1))
-        words = rng.integers(0, n_words, length)
+        if probs is None:
+            words = rng.integers(0, n_words, length)
+        else:
+            words = rng.choice(n_words, size=length, p=probs)
         src.append([int(w) + len(SPECIALS) for w in words])
         tgt.append([int(perm[w]) + len(SPECIALS) for w in words[::-1]])
     return ParallelCorpus(src, tgt, src_vocab, tgt_vocab, source="toy")
