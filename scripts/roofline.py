@@ -60,19 +60,27 @@ def run_shape(title, m, k, n, trials, topk=False):
         print(r.line(), flush=True)
 
     # Dense baselines. The body threads the carry through x (no loop
-    # hoisting) and SUMS the whole output (reading one element lets XLA DCE
-    # the matmul down to a dot product — observed: "2100 TFLOP/s").
+    # hoisting) and reduces a NONLINEARITY of the whole output: a plain
+    # jnp.sum lets XLA's algebraic simplifier factor sum(x @ w) into
+    # (colsum x) @ w — O(MK + KN) instead of the matmul (observed: "83886
+    # TFLOP/s" at small shapes); tanh blocks the rewrite while still fusing
+    # into the matmul epilogue.
     bench(
         "dense f32",
-        lambda c: jnp.sum(jnp.dot(x + c, w, preferred_element_type=jnp.float32))
+        lambda c: jnp.sum(
+            jnp.tanh(jnp.dot(x + c, w, preferred_element_type=jnp.float32))
+        )
         * 1e-9,
         4.0 * k * n,
     )  # NB: default matmul precision — XLA feeds the MXU bf16
     bench(
         "dense bf16",
         lambda c: jnp.sum(
-            jnp.dot(
-                xb + c.astype(jnp.bfloat16), wb, preferred_element_type=jnp.float32
+            jnp.tanh(
+                jnp.dot(
+                    xb + c.astype(jnp.bfloat16), wb,
+                    preferred_element_type=jnp.float32,
+                )
             )
         )
         * 1e-9,

@@ -108,3 +108,22 @@ class TestNMTBatches:
         c = toy_corpus(n=100, vocab_size=40, min_len=3, max_len=6, seed=0)
         for b in nmt_batches(c, 16, drop_remainder=True):
             assert b["src"].shape[0] == 16
+
+
+def test_toy_corpus_zipf_head_heavy():
+    from quantized_distillation_tpu.data import toy_corpus
+
+    uni = toy_corpus(n=400, vocab_size=2000, seed=0)
+    zpf = toy_corpus(n=400, vocab_size=2000, seed=0, zipf=1.1)
+    import collections
+
+    def top_share(corpus):
+        c = collections.Counter(w for s in corpus.src for w in s)
+        total = sum(c.values())
+        return sum(n for _, n in c.most_common(20)) / total
+
+    # Zipf draws concentrate mass on the head; uniform draws don't
+    assert top_share(zpf) > 3 * top_share(uni)
+    # same bijection/language across distributions (seeded by vocab_size)
+    assert len(zpf.src_vocab) == len(uni.src_vocab)
+    assert zpf.src_vocab.decode([10, 11]) == uni.src_vocab.decode([10, 11])

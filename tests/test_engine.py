@@ -153,3 +153,20 @@ class TestEngineEquivalence:
         eng.run_until_drained()
         assert eng.steps_run == 12  # all four decode to max_tgt_len in lockstep
         assert eng.tokens_emitted == 4 * 12
+
+
+def test_drive_chunks_advances_and_syncs(setup):
+    """Public timing entry point (bench.py --engine): pipelined chunk
+    dispatches report emitted tokens and leave the engine structurally
+    valid (the donated grid is rebound)."""
+    m, v, sents, ref = setup
+    cfg = _cfg(4)
+    eng = TranslationEngine(m, v, cfg)
+    for s in sents[: cfg.max_slots]:
+        eng.submit(s)
+    eng.step()
+    em = eng.drive_chunks(3)
+    # force_active: every slot counts each inner step of the last chunk
+    assert em == cfg.max_slots * cfg.chunk_steps
+    em2 = eng.drive_chunks(1, force_active=False)
+    assert em2 >= 0
