@@ -327,3 +327,38 @@ class TestFusedTopK:
         want = dequant_matmul_topk_reference(x, p, 3)
         for g, wv in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(wv), atol=1e-5)
+
+
+class TestCrossKernelNumerics:
+    def test_fused_vs_plain_topk_values_within_bf16_noise(self, rng):
+        """Round-3 finding, codified: the fused kernel folds the bucket
+        affine into bf16 WEIGHTS while the plain kernel folds it into bf16
+        activations, so top-k index sets may differ on near-degenerate
+        logits — but the top-k VALUES must agree within cross-kernel bf16
+        noise (the basis for the serving-vocab divergence study's soundness
+        bound, BASELINE.md)."""
+        from quantized_distillation_tpu.kernels.topk_fused import (
+            dequant_matmul_topk,
+        )
+
+        w = jnp.asarray(rng.standard_normal((256, 2048)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((16, 256)).astype(np.float32))
+        p = pack_linear(w, 4)
+        v_fused, _, lse_fused = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.bfloat16, interpret=True
+        )
+        logits = dequant_matmul(
+            x, p, compute_dtype=jnp.bfloat16, interpret=True
+        )
+        v_plain, _ = jax.lax.top_k(logits, 5)
+        lse_plain = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        scale = np.abs(np.asarray(logits)).max()
+        noise = 4 * 2.0**-8 * max(scale, 1.0)  # a few bf16 ulps at |logit|
+        np.testing.assert_allclose(
+            np.sort(np.asarray(v_fused), axis=1),
+            np.sort(np.asarray(v_plain), axis=1),
+            atol=noise,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse_fused), np.asarray(lse_plain), atol=noise
+        )
