@@ -42,8 +42,8 @@ def build(args):
     tgt_probe = jnp.ones((args.batch, 2), jnp.int32)
     variables = model.init(rng, src, src_len, tgt_probe)
     # quantized path: packed INT-bits weights + fused Pallas dequant+matmul.
-    # generator_group: the fused kernel's VMEM logits tile is
-    # rows*group*1024 bytes vs a ~16MB scoped budget (see pack_decoder).
+    # generator_group: buckets per fused-kernel grid step (16 measures
+    # fastest at serving row counts; see kernels.pick_generator_group).
     use_pallas = jax.devices()[0].platform != "cpu"
     # group from the kernel's own VMEM budget rule
     from quantized_distillation_tpu.kernels import pick_generator_group

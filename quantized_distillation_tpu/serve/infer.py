@@ -97,9 +97,10 @@ def pack_decoder(
     the uniform int8 grid for uniform-kernel speed (see pack_linear).
 
     ``generator_group`` caps buckets/grid-step for the fused vocab kernel.
-    16 is fastest for B*beam rows <= ~640; the kernel's VMEM logits-tile
-    scratch is ``rows * group * 256 * 4`` bytes against a ~16MB scoped
-    budget — size it with :func:`kernels.pick_generator_group`.
+    16 measures fastest at serving row counts (since the round-3 rewrite the
+    kernel's logits tiles rotate through two fixed [rows, 256] scratches, so
+    the group no longer drives VMEM) — size with
+    :func:`kernels.pick_generator_group`.
     """
     dec = params["decoder"]
     cells = []
