@@ -88,11 +88,20 @@ class MeshConfig:
 
 @dataclass(frozen=True)
 class BeamConfig:
-    """Beam-search decoding configuration (reference: onmt/Translator.py)."""
+    """Beam-search decoding configuration (reference: onmt/Translator.py).
+
+    ``length_penalty`` (alpha) and ``coverage_penalty`` (beta) are the GNMT
+    GlobalScorer penalties of the era (reference ``onmt/Beam.py``; Wu et al.
+    2016 eq. 14), both defaulted off as in the reference's experiments.
+    Coverage tracking is supported on the offline beam paths
+    (``serve.beam.beam_search`` / ``serve.infer.beam_search_packed``); the
+    continuous-batching engine — a beyond-reference subsystem — rejects it.
+    """
 
     beam_size: int = 5
     max_len: int = 100
-    length_penalty: float = 0.0  # 0 = none; >0 = GNMT-style length normalization
+    length_penalty: float = 0.0  # alpha: 0 = none; >0 = GNMT length norm
+    coverage_penalty: float = 0.0  # beta: 0 = none; >0 = GNMT coverage penalty
     n_best: int = 1
 
 
@@ -114,4 +123,10 @@ class ServeConfig:
     # per chunk, so per-step dispatch/readback overhead is amortized
     # chunk_steps x. Slots finishing mid-chunk idle (masked) until the chunk
     # ends — a throughput/latency knob; 1 preserves per-step admission.
+    # The chunk length is a RUNTIME argument of the compiled step program,
+    # so it can vary per chunk without recompiling.
     chunk_steps: int = 1
+    # Chunk length while the request queue is non-empty (None = chunk_steps):
+    # shorter chunks under queue pressure re-admit freed slots sooner,
+    # trading dispatch overhead for occupancy (engine.step's default policy).
+    chunk_steps_busy: Optional[int] = None

@@ -26,6 +26,23 @@ decode is exact, and slots >= k is exact for any input.
 ``jax.lax.approx_max_k`` makes the same bounded-recall trade on TPU — here
 it rides inside the matmul for free.
 
+**Cross-kernel tie band (expected index divergence vs the plain path).**
+Lane collisions are NOT the only reason this kernel's indices can differ
+from ``dequant_matmul`` → ``lax.top_k``: this kernel folds the per-bucket
+affine into the bf16 *weights* (``levels * scale``) while the plain kernel
+folds it into the bf16 *activations*, so any two logits within a few bf16
+ulps of each other (≈ 2·2⁻⁸ relative) can ORDER differently between the
+two kernels. A caller comparing fused vs plain top-k index sets should
+expect a tie band, not exactness: measured on a trained model at the
+serving vocabulary (V=32k, beam 5, 4-bit — scripts/topk_divergence.py,
+BASELINE.md round 3), 3.87% of rows differ in top-k *set* and 0.18% in
+top-1, every one a certified numeric tie (top-k VALUE gap ≤ ~2⁻⁸ relative,
+max 0.027 absolute; zero collision misses — slots=2 and slots=4 stats are
+identical; end-to-end BLEU identical). The certificate does not flag these
+because both orderings are exact w.r.t. their own rounding; with both
+paths at ``compute_dtype=jnp.float32`` the band vanishes. The bound is
+asserted by ``tests/test_kernels.py::TestCrossKernelNumerics``.
+
 **Exactness certificate** (``certify=True``): the kernel also tracks, per
 lane class, the largest value ever discarded from the kept set; a row's
 top-k is PROVABLY exact when its k-th selected value strictly beats that

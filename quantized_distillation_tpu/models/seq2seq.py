@@ -234,6 +234,22 @@ class Seq2Seq(nn.Module):
         state, (attn_h, _) = self.decoder(state, y_emb, enc_out, enc_mask, False)
         return state, self.generator(attn_h[:, 0])
 
+    def decode_step_attn(
+        self,
+        state: DecoderState,
+        token: jnp.ndarray,  # [B] int32
+        enc_out: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+    ) -> Tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
+        """:meth:`decode_step` that also exposes the attention alignment
+        ``align [B, T_src]`` — the coverage-penalty beam path accumulates it
+        (reference ``onmt/Beam.py`` GlobalScorer coverage)."""
+        y_emb = self.tgt_embed(token[:, None])  # [B, 1, E]
+        state, (attn_h, align) = self.decoder(
+            state, y_emb, enc_out, enc_mask, False
+        )
+        return state, self.generator(attn_h[:, 0]), align[:, 0]
+
     def __call__(
         self,
         src: jnp.ndarray,

@@ -8,9 +8,12 @@ Covers (and supersedes) the reference's ``onmt/Translator.py`` /
 from .beam import (
     BeamState,
     beam_search,
+    coverage_penalty,
     expand_to_beams,
     greedy_decode,
+    init_beam_state,
     length_penalty,
+    reconstruct_tokens,
     step_beams,
     step_beams_cand,
     tokens_to_sentences,
@@ -27,9 +30,12 @@ from .sharded import (
 __all__ = [
     "BeamState",
     "beam_search",
+    "coverage_penalty",
     "expand_to_beams",
     "greedy_decode",
+    "init_beam_state",
     "length_penalty",
+    "reconstruct_tokens",
     "step_beams",
     "step_beams_cand",
     "tokens_to_sentences",

@@ -12,10 +12,22 @@ is a single jitted ``lax.scan`` with static shapes:
 - beam reordering is a gather on the decoder-state pytree (the "KV-cache"
   analog: LSTM (c, h) per layer + input feed),
 - finished beams are masked to emit only EOS with zero added score,
-- optional GNMT-style length penalty at finalization.
+- optional GNMT-style length penalty and coverage penalty at finalization
+  (the reference's ``onmt/Beam.py`` GlobalScorer penalties).
+
+Token histories are **backpointer-based**, exactly like the reference's
+``Beam.advance`` (``prevKs``): each step writes only this step's emitted
+symbol ``sym[:, :, t]`` and parent index ``parent[:, :, t]`` — O(B*K) per
+step — and full hypotheses are reconstructed ONCE at finalization by
+:func:`reconstruct_tokens` (a reverse scan following the backpointers).
+The previous design gathered the whole ``[B, K, t_max]`` token history by
+parent every step, which made the per-step cost O(t_max) and measurably
+cliffed the serving engine at large ``t_max`` (0.704x offline at
+t_max=4096, BASELINE.md round 3).
 
 The same ``step_beams`` core is reused by the continuous-batching engine
-(:mod:`.engine`), which replaces the per-call encode with slot insertion.
+(:mod:`.engine`), which replaces the per-call encode with slot insertion
+and reconstructs histories only for finished slots.
 """
 
 from __future__ import annotations
@@ -33,16 +45,90 @@ PyTree = Any
 
 NEG_INF = -1e9
 
+# Backpointers are stored as int8: beam widths are tiny (the fused top-k
+# kernel caps k at 8; the reference used beam 5) and 127 is far beyond any
+# realistic beam. int8 keeps the [B, K, T_max] buffer 4x smaller than the
+# token buffer it sits next to.
+PARENT_DTYPE = jnp.int8
+
 
 class BeamState(NamedTuple):
-    """Carry of the beam scan. Leading dims: [B, K] (state: [B*K, ...])."""
+    """Carry of the beam scan. Leading dims: [B, K] (state: [B*K, ...]).
+
+    ``sym``/``parent`` are the backpointer history (reference
+    ``onmt/Beam.py``: ``nextYs``/``prevKs``): ``sym[b, k, t]`` is the token
+    beam slot ``k`` emitted at step ``t`` and ``parent[b, k, t]`` the slot
+    it extended. Slot histories are NOT kept in beam order — reconstruct
+    with :func:`reconstruct_tokens`.
+    """
 
     decoder_state: PyTree  # [B*K, ...] pytree
-    tokens: jnp.ndarray  # [B, K, T_max] emitted tokens (PAD-filled)
+    sym: jnp.ndarray  # [B, K, T_max] emitted symbol per step (PAD-filled)
+    parent: jnp.ndarray  # [B, K, T_max] int8 backpointers (identity-filled)
     last_token: jnp.ndarray  # [B, K]
     scores: jnp.ndarray  # [B, K] cumulative log-prob
     finished: jnp.ndarray  # [B, K] bool
     lengths: jnp.ndarray  # [B, K] emitted length (excl. EOS)
+    # Accumulated attention over source positions [B, K, T_src]; present
+    # (non-None) only when the caller enables the coverage penalty.
+    coverage: Optional[jnp.ndarray] = None
+
+
+def init_beam_state(
+    decoder_state: PyTree,
+    batch: int,
+    beam_size: int,
+    t_max: int,
+    *,
+    bos_id: int = BOS,
+    pad_id: int = PAD,
+    coverage_len: Optional[int] = None,
+) -> BeamState:
+    """Fresh beam state: only beam 0 alive, histories PAD/identity-filled."""
+    k = beam_size
+    return BeamState(
+        decoder_state=decoder_state,
+        sym=jnp.full((batch, k, t_max), pad_id, jnp.int32),
+        parent=jnp.broadcast_to(
+            jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (batch, k, t_max)
+        ),
+        last_token=jnp.full((batch, k), bos_id, jnp.int32),
+        # only beam 0 is alive at t=0 (all beams start identical)
+        scores=jnp.tile(
+            jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (batch, 1)
+        ),
+        finished=jnp.zeros((batch, k), bool),
+        lengths=jnp.zeros((batch, k), jnp.int32),
+        coverage=(
+            None
+            if coverage_len is None
+            else jnp.zeros((batch, k, coverage_len), jnp.float32)
+        ),
+    )
+
+
+def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
+    """Follow backpointers to materialize token histories → [B, K, T].
+
+    Row ``k`` of the result is the full hypothesis of the beam currently in
+    slot ``k`` (the reference's ``Beam.get_hyp``, vectorized): a reverse
+    ``lax.scan`` walks ``t = T-1 .. 0`` carrying the slot index each beam
+    occupied at that step. Unwritten positions (slots admitted mid-grid, or
+    steps beyond a finished slot's depth) hold identity parents and PAD
+    symbols, so they reconstruct to PAD — no masking needed.
+    """
+    b, k, t_max = sym.shape
+    sym_t = jnp.moveaxis(sym, 2, 0)  # [T, B, K]
+    par_t = jnp.moveaxis(parent.astype(jnp.int32), 2, 0)
+
+    def step(cur, xs):
+        s_t, p_t = xs  # [B, K]
+        tok = jnp.take_along_axis(s_t, cur, axis=1)
+        return jnp.take_along_axis(p_t, cur, axis=1), tok
+
+    init = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
+    _, toks = jax.lax.scan(step, init, (sym_t, par_t), reverse=True)
+    return jnp.moveaxis(toks, 0, 2)  # [B, K, T]
 
 
 def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +149,19 @@ def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
     return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
 
 
+def coverage_penalty(coverage: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """GNMT coverage penalty ``beta * sum_j log(min(cov_j, 1))`` → [B, K].
+
+    ``coverage`` [B, K, T_src] is the attention mass each hypothesis has
+    accrued per source position (reference: ``onmt/Beam.py`` GlobalScorer /
+    Wu et al. 2016 eq. 14). Positions with zero coverage are masked-out
+    source padding (the attention softmax puts strictly positive mass on
+    every real position), so they contribute 0 rather than -inf.
+    """
+    safe = jnp.where(coverage > 0, jnp.minimum(coverage, 1.0), 1.0)
+    return beta * jnp.sum(jnp.log(safe), axis=-1)
+
+
 def _advance(
     state: BeamState,
     new_dec: PyTree,
@@ -73,52 +172,89 @@ def _advance(
     *,
     eos_id: int,
     pad_id: int,
+    align: Optional[jnp.ndarray] = None,  # [B*K, T_src] pre-reorder attention
+    active: Optional[jnp.ndarray] = None,  # [B] slot-active mask (engine)
 ) -> BeamState:
-    """Shared beam-advance tail: reorder by parent, emit, track EOS/length."""
+    """Shared beam-advance tail: reorder by parent, record, track EOS/length.
+
+    History recording is O(B*K): this step's symbol and backpointer are
+    scattered into column ``t`` — no gather of past steps (the reference's
+    ``prevKs`` append). When ``active`` is given (continuous-batching
+    engine), inactive slots' writes are routed out of bounds and dropped,
+    so the caller does not need an O(t_max) merge to protect them.
+    """
     b, k = state.scores.shape
+    t_max = state.sym.shape[2]
     new_dec = _gather_beams(new_dec, parent, b, k)
     gather = jax.vmap(lambda a, i: a[i])
-    tokens = gather(state.tokens, parent)
     finished = gather(state.finished, parent)
     lengths = gather(state.lengths, parent)
+    coverage = state.coverage
+    if coverage is not None:
+        coverage = gather(coverage, parent)
+        if align is not None:
+            # attention accrues only while the hypothesis is still emitting
+            # (the parent's alignment this step, reordered with it)
+            align_g = gather(align.reshape(b, k, -1), parent)
+            coverage = coverage + jnp.where(
+                finished[..., None], 0.0, align_g.astype(coverage.dtype)
+            )
     emit = jnp.where(finished, pad_id, token)
     t = jnp.asarray(t)
     if t.ndim == 0:
-        tokens = tokens.at[:, :, t].set(emit)
+        sym = state.sym.at[:, :, t].set(emit)
+        par = state.parent.at[:, :, t].set(parent.astype(PARENT_DTYPE))
     else:
-        # per-slot positions: one-hot masked write over the time axis
-        t_max = tokens.shape[2]
-        pos = jnp.arange(t_max)[None, None, :] == t[:, None, None]  # [B,1,T]
-        tokens = jnp.where(pos, emit[:, :, None], tokens)
+        # per-slot positions (engine): scatter one column per sentence row;
+        # inactive slots write out of bounds and vanish (mode='drop')
+        t_eff = t if active is None else jnp.where(active, t, t_max)
+        bi = jnp.arange(b)[:, None]
+        ki = jnp.arange(k)[None, :]
+        sym = state.sym.at[bi, ki, t_eff[:, None]].set(emit, mode="drop")
+        par = state.parent.at[bi, ki, t_eff[:, None]].set(
+            parent.astype(PARENT_DTYPE), mode="drop"
+        )
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(
         decoder_state=new_dec,
-        tokens=tokens,
+        sym=sym,
+        parent=par,
         last_token=token,
         scores=new_scores,
         finished=finished,
         lengths=lengths,
+        coverage=coverage,
     )
 
 
 def step_beams(
-    decode_step: Callable[[PyTree, jnp.ndarray], Tuple[PyTree, jnp.ndarray]],
+    decode_step: Callable[[PyTree, jnp.ndarray], Tuple],
     state: BeamState,
     t: jnp.ndarray,
     *,
     beam_size: int,
     eos_id: int = EOS,
     pad_id: int = PAD,
+    active: Optional[jnp.ndarray] = None,
 ) -> BeamState:
     """Advance every sentence's beams one step (the compiled Beam.advance).
 
     ``t`` is the emit position — a scalar for lockstep (offline) decoding, or
     a per-sentence ``[B]`` vector for the continuous-batching engine, where
-    every slot sits at its own depth.
+    every slot sits at its own depth (pass ``active`` there so inactive
+    slots' history writes are dropped).
+
+    ``decode_step(state [B*K,...], tokens [B*K]) -> (state, logits [B*K, V])``
+    — or ``(state, logits, align [B*K, T_src])`` when ``state.coverage`` is
+    tracked (coverage-penalty decoding).
     """
     b, k = state.scores.shape
-    new_dec, logits = decode_step(state.decoder_state, _flatten_beams(state.last_token))
+    ret = decode_step(state.decoder_state, _flatten_beams(state.last_token))
+    if state.coverage is not None:
+        new_dec, logits, align = ret
+    else:
+        (new_dec, logits), align = ret, None
     v = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
     # Finished beams: only continuation is EOS at zero added score, so their
@@ -131,37 +267,39 @@ def step_beams(
     parent = flat_idx // v
     token = flat_idx % v
     return _advance(
-        state, new_dec, new_scores, parent, token, t, eos_id=eos_id, pad_id=pad_id
+        state, new_dec, new_scores, parent, token, t,
+        eos_id=eos_id, pad_id=pad_id, align=align, active=active,
     )
 
 
 def step_beams_cand(
-    decode_cand: Callable[
-        [PyTree, jnp.ndarray],
-        Tuple[PyTree, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
-    ],
+    decode_cand: Callable[[PyTree, jnp.ndarray], Tuple],
     state: BeamState,
     t: jnp.ndarray,
     *,
     beam_size: int,
     eos_id: int = EOS,
     pad_id: int = PAD,
+    active: Optional[jnp.ndarray] = None,
 ) -> BeamState:
     """Beam advance from per-beam top-k CANDIDATES instead of full logits.
 
     ``decode_cand(state, tokens [B*K]) -> (state, (vals [B*K, kc],
     idx [B*K, kc], lse [B*K, 1]))`` — the contract of the fused
     dequant+matmul+top-k kernel (:func:`..kernels.dequant_matmul_topk`),
-    which never materializes the [B*K, V] logits. Mathematically equivalent
+    which never materializes the [B*K, V] logits; with coverage tracking it
+    returns an extra ``align [B*K, T_src]``. Mathematically equivalent
     to :func:`step_beams` whenever kc >= beam_size: at most ``beam_size``
     winners can come from any single parent beam, so the per-beam top-k
     candidate set always contains the global top-k of ``scores + logp``.
     All bookkeeping here is on [B, K, kc] — a few thousand elements.
     """
     b, k = state.scores.shape
-    new_dec, (vals, idx, lse) = decode_cand(
-        state.decoder_state, _flatten_beams(state.last_token)
-    )
+    ret = decode_cand(state.decoder_state, _flatten_beams(state.last_token))
+    if state.coverage is not None:
+        new_dec, (vals, idx, lse), align = ret
+    else:
+        (new_dec, (vals, idx, lse)), align = ret, None
     kc = vals.shape[-1]
     logp = (vals - lse).reshape(b, k, kc)
     cand_tok = idx.reshape(b, k, kc)
@@ -176,7 +314,8 @@ def step_beams_cand(
     parent = flat_idx // kc
     token = jax.vmap(lambda tk, i: tk.reshape(-1)[i])(cand_tok, flat_idx)
     return _advance(
-        state, new_dec, new_scores, parent, token, t, eos_id=eos_id, pad_id=pad_id
+        state, new_dec, new_scores, parent, token, t,
+        eos_id=eos_id, pad_id=pad_id, align=align, active=active,
     )
 
 
@@ -187,8 +326,22 @@ def expand_to_beams(tree: PyTree, beam_size: int) -> PyTree:
     )
 
 
+def finalize_scores(state: BeamState, cfg: BeamConfig) -> jnp.ndarray:
+    """Normalized hypothesis scores [B, K]: length + coverage penalties."""
+    norm = state.scores / length_penalty(state.lengths, cfg.length_penalty)
+    if cfg.coverage_penalty != 0.0:
+        if state.coverage is None:
+            raise ValueError(
+                "coverage_penalty set but coverage was not tracked — pass "
+                "coverage_len to beam_decode (offline paths do this when "
+                "cfg.coverage_penalty != 0)"
+            )
+        norm = norm + coverage_penalty(state.coverage, cfg.coverage_penalty)
+    return norm
+
+
 def beam_decode(
-    decode_step: Callable[[PyTree, jnp.ndarray], Tuple[PyTree, jnp.ndarray]],
+    decode_step: Callable[[PyTree, jnp.ndarray], Tuple],
     dec_state_beams: PyTree,
     batch: int,
     cfg: BeamConfig,
@@ -197,6 +350,7 @@ def beam_decode(
     eos_id: int = EOS,
     pad_id: int = PAD,
     candidates: bool = False,
+    coverage_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
 
@@ -205,6 +359,8 @@ def beam_decode(
     (:mod:`.infer`) — the beam bookkeeping is identical. With
     ``candidates=True`` the decoder returns per-beam top-k candidates
     ``(vals, idx, lse)`` instead of logits (fused-kernel serving path).
+    When ``cfg.coverage_penalty`` is set, pass ``coverage_len`` (= T_src)
+    and a decode_step that returns an extra ``align [B*K, T_src]``.
 
     Returns the best hypothesis per sentence — ``(tokens [B, T], score [B])``
     — when ``cfg.n_best == 1``, or the top ``n_best`` hypotheses sorted by
@@ -215,17 +371,13 @@ def beam_decode(
         raise ValueError(
             f"n_best={cfg.n_best} must be in [1, beam_size={cfg.beam_size}]"
         )
+    if cfg.coverage_penalty != 0.0 and coverage_len is None:
+        raise ValueError("cfg.coverage_penalty requires coverage_len (T_src)")
     k = cfg.beam_size
-    init = BeamState(
-        decoder_state=dec_state_beams,
-        tokens=jnp.full((batch, k, cfg.max_len), pad_id, jnp.int32),
-        last_token=jnp.full((batch, k), bos_id, jnp.int32),
-        # only beam 0 is alive at t=0 (all beams start identical)
-        scores=jnp.tile(
-            jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (batch, 1)
-        ),
-        finished=jnp.zeros((batch, k), bool),
-        lengths=jnp.zeros((batch, k), jnp.int32),
+    init = init_beam_state(
+        dec_state_beams, batch, k, cfg.max_len,
+        bos_id=bos_id, pad_id=pad_id,
+        coverage_len=coverage_len if cfg.coverage_penalty != 0.0 else None,
     )
 
     stepper = step_beams_cand if candidates else step_beams
@@ -239,13 +391,14 @@ def beam_decode(
         )
 
     final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
-    norm = final.scores / length_penalty(final.lengths, cfg.length_penalty)
+    norm = finalize_scores(final, cfg)
+    tokens = reconstruct_tokens(final.sym, final.parent)
     take = jax.vmap(lambda a, i: a[i])
     if cfg.n_best == 1:
         best = jnp.argmax(norm, axis=1)  # [B]
-        return take(final.tokens, best), take(norm, best)
+        return take(tokens, best), take(norm, best)
     top_scores, order = jax.lax.top_k(norm, cfg.n_best)  # [B, n]
-    return take(final.tokens, order), top_scores
+    return take(tokens, order), top_scores
 
 
 def beam_search(
@@ -273,15 +426,26 @@ def beam_search(
     enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
     dec_state_b = expand_to_beams(dec_state, k)
 
-    def decode_step(state, tokens):
-        return model.apply(
-            variables, state, tokens, enc_out_b, enc_mask_b,
-            method=model.decode_step,
-        )
+    if cfg.coverage_penalty != 0.0:
+
+        def decode_step(state, tokens):
+            return model.apply(
+                variables, state, tokens, enc_out_b, enc_mask_b,
+                method=model.decode_step_attn,
+            )
+
+    else:
+
+        def decode_step(state, tokens):
+            return model.apply(
+                variables, state, tokens, enc_out_b, enc_mask_b,
+                method=model.decode_step,
+            )
 
     return beam_decode(
         decode_step, dec_state_b, b, cfg,
         bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+        coverage_len=enc_out.shape[1],
     )
 
 

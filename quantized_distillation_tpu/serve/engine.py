@@ -11,7 +11,9 @@ Design (ragged lifetimes x fixed-shape jit — SURVEY.md §7 hard part 2):
 - All decode state lives in preallocated device arrays: the decoder-state
   pytree ([S*K, ...] — the LSTM (c,h)/input-feed "KV-cache" analog), encoder
   outputs/keys/masks, and beam bookkeeping ([S, K] scores/finished/lengths,
-  [S, K, T_max] tokens). These are what the sharding rules tensor-shard.
+  [S, K, T_max] backpointer histories — sym/parent, reconstructed to token
+  rows only for finished slots). These are what the sharding rules
+  tensor-shard.
 - Each slot sits at its own decode depth: ``step_beams`` takes a per-slot
   ``t`` vector; inactive slots are masked back to their previous state.
 - Admission is BATCHED: up to ``admit_batch`` queued sentences are encoded
@@ -43,8 +45,10 @@ from ..config import ServeConfig
 from ..data.translation import BOS, EOS, PAD
 from .beam import (
     NEG_INF,
+    PARENT_DTYPE,
     BeamState,
     length_penalty,
+    reconstruct_tokens,
     step_beams,
     step_beams_cand,
 )
@@ -82,6 +86,12 @@ class TranslationEngine:
         self.cfg = cfg
         self.dec = packed_decoder
         self.mesh = mesh
+        if cfg.beam.coverage_penalty != 0.0:
+            raise ValueError(
+                "coverage_penalty is supported on the offline beam paths "
+                "(serve.beam.beam_search / serve.infer.beam_search_packed); "
+                "the continuous-batching engine does not track coverage"
+            )
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
 
@@ -91,6 +101,7 @@ class TranslationEngine:
                     f"max_slots {cfg.max_slots} must divide data axis {dp}"
                 )
         self._next_id = 0
+        self._poisoned = False  # set by drive_chunks(force_active=True)
         self._queue: List[Tuple[int, np.ndarray, int]] = []
         self._slot_req: List[Optional[int]] = [None] * cfg.max_slots
         self._slot_t = np.zeros(cfg.max_slots, np.int32)
@@ -182,10 +193,15 @@ class TranslationEngine:
                 return decode_step(enc_keys, enc_out, enc_mask, st, tokens)
 
             stepper = step_beams_cand if use_cand else step_beams
+            # `active` makes the stepper route inactive slots' history
+            # writes out of bounds, so sym/parent need no O(t_max) merge —
+            # the per-step cost is O(S*K) regardless of t_max (backpointer
+            # histories, VERDICT round-3 item 1)
             new_beam = stepper(
-                ds, beam, t_vec, beam_size=k, eos_id=EOS, pad_id=PAD
+                ds, beam, t_vec, beam_size=k, eos_id=EOS, pad_id=PAD,
+                active=active,
             )
-            # inactive slots keep their previous state untouched
+            # inactive slots keep their previous (small) state untouched
             row = active[:, None]
             rowk = jnp.repeat(active, k)
 
@@ -196,7 +212,8 @@ class TranslationEngine:
 
             merged = BeamState(
                 decoder_state=jax.tree.map(keep, new_beam.decoder_state, beam.decoder_state),
-                tokens=jnp.where(row[..., None], new_beam.tokens, beam.tokens),
+                sym=new_beam.sym,
+                parent=new_beam.parent,
                 last_token=jnp.where(row, new_beam.last_token, beam.last_token),
                 scores=jnp.where(row, new_beam.scores, beam.scores),
                 finished=jnp.where(row, new_beam.finished, beam.finished),
@@ -207,21 +224,30 @@ class TranslationEngine:
             )
             return (enc_keys, enc_out, enc_mask, merged), done
 
-        n_inner = cfg.chunk_steps
+        def step_chunk(grid, t_vec, active, n_inner):
+            # n_inner is a RUNTIME value (while_loop): one compiled program
+            # serves every chunk length, so the host can adapt chunk size to
+            # queue pressure (shorter chunks while work is waiting → less
+            # slot-time stranded between a mid-chunk completion and the next
+            # admission) without recompiling.
+            def cond(c):
+                return c[0] < n_inner
 
-        def step_chunk(grid, t_vec, active):
-            def body(carry, _):
-                grid, t_vec, active, done_acc, emitted = carry
+            def body(c):
+                i, grid, t_vec, active, done_acc, emitted = c
                 grid, done = one_step(grid, t_vec, active)
                 emitted = emitted + jnp.sum(active.astype(jnp.int32))
                 t_vec = t_vec + active.astype(t_vec.dtype)
                 done_acc = done_acc | done
                 active = active & ~done
-                return (grid, t_vec, active, done_acc, emitted), None
+                return (i + 1, grid, t_vec, active, done_acc, emitted)
 
-            init = (grid, t_vec, active, jnp.zeros_like(active), jnp.int32(0))
-            (grid, t_vec, active, done_acc, emitted), _ = jax.lax.scan(
-                body, init, None, length=n_inner
+            init = (
+                jnp.int32(0), grid, t_vec, active,
+                jnp.zeros_like(active), jnp.int32(0),
+            )
+            _, grid, t_vec, active, done_acc, emitted = jax.lax.while_loop(
+                cond, body, init
             )
             return grid, t_vec, done_acc, emitted
 
@@ -256,11 +282,18 @@ class TranslationEngine:
             init_scores = jnp.tile(
                 jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (a, 1)
             )
+            # histories reset to PAD symbols + identity backpointers: the
+            # positions a slot never reaches stay identity/PAD, so the
+            # finalization backtrace walks through them untouched
+            ident = jnp.broadcast_to(
+                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (a, k, t_max)
+            )
             beam = BeamState(
                 decoder_state=new_dec,
-                tokens=beam.tokens.at[slots].set(
+                sym=beam.sym.at[slots].set(
                     jnp.full((a, k, t_max), PAD, jnp.int32), mode="drop"
                 ),
+                parent=beam.parent.at[slots].set(ident, mode="drop"),
                 last_token=beam.last_token.at[slots].set(
                     jnp.full((a, k), BOS, jnp.int32), mode="drop"
                 ),
@@ -275,6 +308,25 @@ class TranslationEngine:
             return (enc_keys, enc_out, enc_mask, beam)
 
         self._insert_many = jax.jit(insert_many, donate_argnums=(0,))
+
+        def extract(grid, slots):
+            """Reconstruct + rank hypotheses for up to ``admit_batch`` DONE
+            slots in one dispatch, device-side (the reference's
+            ``Beam.get_hyp``, batched): only [E, n_best, T_max] tokens ever
+            reach the host — the previous design pulled the entire
+            [S, K, T_max] token grid on any completion. ``slots`` entries
+            equal to ``max_slots`` are padding (clamped; caller ignores
+            their rows)."""
+            beam = grid[3]
+            sl = jnp.clip(slots, 0, s - 1)
+            toks = reconstruct_tokens(beam.sym[sl], beam.parent[sl])
+            lp = length_penalty(beam.lengths[sl], cfg.beam.length_penalty)
+            norm = beam.scores[sl] / lp
+            top_scores, order = jax.lax.top_k(norm, cfg.beam.n_best)
+            toks_n = jnp.take_along_axis(toks, order[:, :, None], axis=1)
+            return toks_n, top_scores
+
+        self._extract = jax.jit(extract)
         self._grid = self._empty_grid()
         if mesh is not None:
             # rows (slots x beams) over `data`; beam bookkeeping replicated
@@ -293,7 +345,8 @@ class TranslationEngine:
                 put(enc_mask),
                 beam.__class__(
                     decoder_state=jax.tree.map(put, beam.decoder_state),
-                    tokens=put(beam.tokens),
+                    sym=put(beam.sym),
+                    parent=put(beam.parent),
                     last_token=put(beam.last_token),
                     scores=put(beam.scores),
                     finished=put(beam.finished),
@@ -317,7 +370,10 @@ class TranslationEngine:
         )
         beam = BeamState(
             decoder_state=zeros_state,
-            tokens=jnp.full((s, k, t_max), PAD, jnp.int32),
+            sym=jnp.full((s, k, t_max), PAD, jnp.int32),
+            parent=jnp.broadcast_to(
+                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (s, k, t_max)
+            ),
             last_token=jnp.full((s, k), BOS, jnp.int32),
             scores=jnp.full((s, k), NEG_INF, jnp.float32),
             finished=jnp.ones((s, k), bool),
@@ -380,16 +436,30 @@ class TranslationEngine:
                 t[slot] = 0
             self._slot_t = t
 
-    def step(self) -> List[Completion]:
+    def step(self, chunk_steps: Optional[int] = None) -> List[Completion]:
         """Admit pending work, run one decode chunk, pop completed slots.
 
-        One chunk = ``cfg.chunk_steps`` device-side decode steps (host
-        readback once at the end); counters track inner steps.
+        One chunk = ``chunk_steps`` device-side decode steps (host readback
+        once at the end); counters track inner steps. Default policy:
+        ``cfg.chunk_steps``, dropped to ``cfg.chunk_steps_busy`` while the
+        queue is non-empty (the chunk length is a runtime argument of the
+        compiled program, so adapting it is free) — a completion strands its
+        slot only until the chunk ends, so shorter chunks under queue
+        pressure convert stranded slot-steps into admitted work.
         """
+        if self._poisoned:
+            raise RuntimeError(
+                "engine state was force-advanced by drive_chunks("
+                "force_active=True) — benchmark semantics stepped empty "
+                "slots from garbage; build a fresh TranslationEngine to serve"
+            )
         self._admit()
         active = np.array([r is not None for r in self._slot_req])
         if not active.any():
             return []
+        if chunk_steps is None:
+            busy = self.cfg.chunk_steps_busy or self.cfg.chunk_steps
+            chunk_steps = busy if self._queue else self.cfg.chunk_steps
         # CRITICAL: never mutate self._slot_t in place. The host->device
         # transfer of a dispatched step's arguments can be deferred under
         # async load, so an in-place mutation here is observed by the
@@ -397,40 +467,53 @@ class TranslationEngine:
         # positions, ~30%% of staggered runs). All updates below rebind
         # self._slot_t to a fresh array (copy-on-write).
         self._grid, t_new, done, emitted = self._step(
-            self._grid, jnp.asarray(self._slot_t), jnp.array(active)
+            self._grid, jnp.asarray(self._slot_t), jnp.array(active),
+            jnp.int32(chunk_steps),
         )
-        self.steps_run += self.cfg.chunk_steps
+        self.steps_run += chunk_steps
         self.tokens_emitted += int(emitted)
         self._slot_t = np.array(t_new)  # fresh writable host copy
         done_np = np.asarray(done)
         out: List[Completion] = []
         if done_np.any():
-            beam: BeamState = self._grid[3]
-            lp = length_penalty(beam.lengths, self.cfg.beam.length_penalty)
-            norm = np.asarray(beam.scores / lp)
-            toks = np.asarray(beam.tokens)
+            # device-side backtrace + ranking for done slots only, extracted
+            # in fixed-width batches (sentinel-padded) — one small program,
+            # [E, n_best, T_max] ints to host instead of the whole grid
             n_best = self.cfg.beam.n_best
-            for slot in np.where(done_np)[0]:
-                order = np.argsort(-norm[slot])
-                best = int(order[0])
-                comp = Completion(
-                    request_id=self._slot_req[slot],
-                    tokens=toks[slot, best].copy(),
-                    score=float(norm[slot, best]),
+            e = self.cfg.admit_batch
+            done_slots = np.where(done_np)[0]
+            for i in range(0, len(done_slots), e):
+                chunk = done_slots[i : i + e]
+                slots_arg = np.full(e, self.cfg.max_slots, np.int32)
+                slots_arg[: len(chunk)] = chunk
+                toks_n, scores_n = self._extract(
+                    self._grid, jnp.asarray(slots_arg)
                 )
-                if n_best > 1:
-                    top = order[:n_best]
-                    comp.nbest_tokens = toks[slot, top].copy()
-                    comp.nbest_scores = norm[slot, top].copy()
-                out.append(comp)
-                self._slot_req[slot] = None
-                t = self._slot_t.copy()
-                t[slot] = 0
-                self._slot_t = t
+                toks_np = np.asarray(toks_n)
+                scores_np = np.asarray(scores_n)
+                for j, slot in enumerate(chunk):
+                    comp = Completion(
+                        request_id=self._slot_req[slot],
+                        tokens=toks_np[j, 0].copy(),
+                        score=float(scores_np[j, 0]),
+                    )
+                    if n_best > 1:
+                        comp.nbest_tokens = toks_np[j].copy()
+                        comp.nbest_scores = scores_np[j].copy()
+                    out.append(comp)
+                    self._slot_req[slot] = None
+                    t = self._slot_t.copy()
+                    t[slot] = 0
+                    self._slot_t = t
         self._results.extend(out)
         return out
 
-    def drive_chunks(self, n_chunks: int, force_active: bool = True) -> int:
+    def drive_chunks(
+        self,
+        n_chunks: int,
+        force_active: bool = True,
+        chunk_steps: Optional[int] = None,
+    ) -> int:
         """Advance the whole grid ``n_chunks`` compiled chunk dispatches with
         NO host readback between them — device-resident pipelining, exactly
         how a production host drives the engine — then sync on the last
@@ -442,8 +525,12 @@ class TranslationEngine:
 
         ``force_active=True`` treats every slot as live regardless of
         completion bookkeeping (benchmark semantics: a full grid decoding
-        forever). Slot timers and completions are NOT updated; use
-        :meth:`step` for serving.
+        forever). Completions are NOT extracted, and the forced advance
+        steps empty slots from garbage state, so the engine is POISONED for
+        serving afterwards — a later :meth:`step` raises. With
+        ``force_active=False`` only live slots advance and slot timers are
+        written back, so :meth:`step` remains usable (its next chunk picks
+        up completions normally).
         """
         active = (
             jnp.ones((self.cfg.max_slots,), bool)
@@ -451,11 +538,16 @@ class TranslationEngine:
             else jnp.asarray([r is not None for r in self._slot_req])
         )
         grid, t_vec = self._grid, jnp.asarray(self._slot_t)
+        n_inner = jnp.int32(chunk_steps or self.cfg.chunk_steps)
         em = jnp.int32(0)
         for _ in range(n_chunks):
             # grid is donated per dispatch; rebind so the engine stays valid
-            grid, t_vec, _, em = self._step(grid, t_vec, active)
+            grid, t_vec, _, em = self._step(grid, t_vec, active, n_inner)
         self._grid = grid
+        if force_active:
+            self._poisoned = True
+        else:
+            self._slot_t = np.array(t_vec)  # fresh writable host copy
         return int(em)
 
     def run_until_drained(self, max_steps: int = 100000) -> List[Completion]:

@@ -179,6 +179,15 @@ def encode_packed(
         keys = jnp.einsum("bth,hk->btk", enc_out, dec.attn_in)
     else:
         keys = enc_out
+    # Decoder state: h and input_feed are stored in compute_dtype — they
+    # only ever feed compute_dtype matmuls, so storing them narrow is
+    # bit-identical to the old cast-at-use (one f32->bf16 rounding either
+    # way) while halving the bytes the per-step beam-reorder gather moves
+    # (round-3 decomposition: the state gather was ~16us of the decode
+    # step). The LSTM cell state c stays f32: it accumulates across steps.
+    states, input_feed = state
+    states = tuple((c, h.astype(dec.compute_dtype)) for c, h in states)
+    state = (states, input_feed.astype(dec.compute_dtype))
     return keys, enc_out, enc_mask, state
 
 
@@ -195,8 +204,9 @@ def _decode_body(
     enc_keys: jnp.ndarray,
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
-) -> Tuple[DecoderState, jnp.ndarray]:
-    """Everything up to (but excluding) the generator → (state, attn_h).
+) -> Tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
+    """Everything up to (but excluding) the generator
+    → (state, attn_h, align [rows, T_src]).
 
     The encoder tensors' leading dim may be the full row count OR any
     divisor of it (sentences, with rows = sentences × beams in k-blocks):
@@ -204,18 +214,27 @@ def _decode_body(
     the beam factor into the einsum batch and the per-step HBM read of
     keys+context drops by ~the beam factor (measured ~31MB → ~6MB per step
     at the serving shape — attention was the decode step's largest HBM
-    stream after the generator kernel eliminated the logits).
+    stream after the generator kernel eliminated the logits). ``align`` is
+    a byproduct of that attention (free unless consumed — XLA dead-codes
+    it otherwise); the coverage-penalty beam path accumulates it.
     """
     states, input_feed = state
-    x = dec.tgt_embed[token].astype(jnp.float32)
-    x = jnp.concatenate([x, input_feed], axis=-1)
+    # embeddings are stored in compute_dtype; h/input_feed arrive in
+    # compute_dtype (see encode_packed) so the gate-matmul input needs no
+    # cast at all — gates/cell math still runs in f32
+    x = dec.tgt_embed[token].astype(dec.compute_dtype)
+    x = jnp.concatenate([x, input_feed.astype(dec.compute_dtype)], axis=-1)
     new_states = []
     for cell in dec.cells:
         c, h = states[len(new_states)]
-        z = _mm(jnp.concatenate([x, h], axis=-1), cell.w, dec) + cell.bias
+        z = _mm(
+            jnp.concatenate([x, h.astype(dec.compute_dtype)], axis=-1),
+            cell.w, dec,
+        ) + cell.bias
         zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
         c = jax.nn.sigmoid(zf) * c + jax.nn.sigmoid(zi) * jnp.tanh(zg)
-        h = jax.nn.sigmoid(zo) * jnp.tanh(c)
+        h32 = jax.nn.sigmoid(zo) * jnp.tanh(c)
+        h = h32.astype(dec.compute_dtype)
         new_states.append((c, h))
         x = h
     # Luong attention on precomputed keys, beams folded per sentence
@@ -235,7 +254,11 @@ def _decode_body(
         preferred_element_type=jnp.float32,
     ).reshape(rows, enc_out.shape[-1])
     attn_h = jnp.tanh(_mm(jnp.concatenate([context, x], axis=-1), dec.attn_out, dec))
-    return (tuple(new_states), attn_h), attn_h
+    # stored input_feed narrows to compute_dtype (same rounding the next
+    # step's gate matmul would apply anyway); the generator consumes the
+    # f32 attn_h directly
+    feed = attn_h.astype(dec.compute_dtype)
+    return (tuple(new_states), feed), attn_h, align.reshape(rows, -1)
 
 
 def packed_decode_step(
@@ -245,12 +268,19 @@ def packed_decode_step(
     enc_keys: jnp.ndarray,  # [B, T, H]
     enc_out: jnp.ndarray,  # [B, T, H]
     enc_mask: jnp.ndarray,  # [B, T]
-) -> Tuple[DecoderState, jnp.ndarray]:
-    """One serving decode step on packed weights → (state, logits [B, V])."""
-    new_state, attn_h = _decode_body(dec, state, token, enc_keys, enc_out, enc_mask)
+    *,
+    with_align: bool = False,
+):
+    """One serving decode step on packed weights → (state, logits [B, V])
+    (+ ``align [B, T_src]`` when ``with_align`` — coverage-penalty beams)."""
+    new_state, attn_h, align = _decode_body(
+        dec, state, token, enc_keys, enc_out, enc_mask
+    )
     # the generator is packed to grid-aligned width with -1e9 bias on the
     # padding (see pack_decoder); slice back to the true vocab
     logits = _mm(attn_h, dec.generator, dec)[:, : dec.tgt_embed.shape[0]]
+    if with_align:
+        return new_state, logits, align
     return new_state, logits
 
 
@@ -262,12 +292,17 @@ def packed_decode_step_topk(
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
     k: int,
-) -> Tuple[DecoderState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    *,
+    with_align: bool = False,
+):
     """Decode step returning per-row top-k candidates ``(vals, idx, lse)``
     via the fused generator kernel — the [B, V] logits never exist in HBM
-    (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`.
+    (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`;
+    ``with_align`` adds the attention alignment (coverage-penalty beams).
     """
-    new_state, attn_h = _decode_body(dec, state, token, enc_keys, enc_out, enc_mask)
+    new_state, attn_h, align = _decode_body(
+        dec, state, token, enc_keys, enc_out, enc_mask
+    )
     cand = dequant_matmul_topk(
         attn_h,
         dec.generator,
@@ -276,6 +311,8 @@ def packed_decode_step_topk(
         use_pallas=dec.use_pallas,
         slots=dec.topk_slots,
     )
+    if with_align:
+        return new_state, cand, align
     return new_state, cand
 
 
@@ -304,17 +341,24 @@ def beam_search_packed(
     # folds the beam factor into the attention batch, cutting its per-step
     # HBM read by ~k
     state_b = expand_to_beams(state, k)
+    with_align = cfg.coverage_penalty != 0.0
+    cov_len = enc_out.shape[1]
 
     if fused_topk:
 
         def decode_cand(s, tokens):
             return packed_decode_step_topk(
-                dec, s, tokens, keys, enc_out, enc_mask, k
+                dec, s, tokens, keys, enc_out, enc_mask, k,
+                with_align=with_align,
             )
 
-        return beam_decode(decode_cand, state_b, b, cfg, candidates=True)
+        return beam_decode(
+            decode_cand, state_b, b, cfg, candidates=True, coverage_len=cov_len
+        )
 
     def decode_step(s, tokens):
-        return packed_decode_step(dec, s, tokens, keys, enc_out, enc_mask)
+        return packed_decode_step(
+            dec, s, tokens, keys, enc_out, enc_mask, with_align=with_align
+        )
 
-    return beam_decode(decode_step, state_b, b, cfg)
+    return beam_decode(decode_step, state_b, b, cfg, coverage_len=cov_len)

@@ -136,7 +136,7 @@ def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
 
     def body(d: PackedDecoder, state, tokens, enc_keys, enc_out, enc_mask):
         # local rows, replicated small weights
-        new_state, attn_h = _decode_body(
+        new_state, attn_h, _ = _decode_body(
             d, state, tokens, enc_keys, enc_out, enc_mask
         )
         gen = d.generator

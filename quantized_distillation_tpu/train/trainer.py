@@ -189,12 +189,16 @@ def make_train_step(
     BASELINE.md). Mechanism: the gradient computation runs under a
     ``shard_map`` manual over the ``data`` axis (any ``model`` axis stays
     auto, so tensor-parallel shardings are preserved); each shard pre-scales
-    its local grads by 1/D, casts to ``grad_reduce_dtype``, and ``psum``s —
-    the collective the partitioner emits carries bf16 — then casts back so
-    optax still sees f32. Weight fake-quant uses the same rng on every shard
-    (shards must see identical quantized weights); dropout rng is folded per
-    shard. Masked losses average per-shard means (standard DP semantics:
-    equal-weight shards, not equal-weight tokens).
+    its local grads by its cross-shard weight, casts to
+    ``grad_reduce_dtype``, and ``psum``s — the collective the partitioner
+    emits carries bf16 — then casts back so optax still sees f32. Weight
+    fake-quant uses the same rng on every shard (shards must see identical
+    quantized weights); dropout rng is folded per shard. When the task's
+    metrics report ``n_tokens`` (masked seq losses), shards are weighted by
+    their token counts — ``psum(loss * n_local) / psum(n_local)`` — so the
+    flag reproduces the baseline path's GLOBAL token mean and changes only
+    the collective dtype; tasks without ``n_tokens`` (vision: every shard
+    holds the same number of rows) use the equivalent equal-shard 1/D.
     """
     from ..parallel.mesh import DATA_AXIS
 
@@ -277,19 +281,16 @@ def _reduced_precision_grads(
 
     Manual ``shard_map`` over the data axis only — any other mesh axis
     (tensor-parallel ``model``) stays auto, so XLA keeps partitioning the
-    per-shard forward/backward. Grads are pre-scaled by 1/D (the global
-    mean), cast to ``rdtype`` (this is what the wire carries), ``psum``'d,
-    then cast back to f32 for optax. bf16 shares f32's exponent range, so
-    the cast cannot overflow; the D-way bf16 accumulation noise is far below
-    SGD gradient noise (accuracy-neutrality is tested in
-    tests/test_trainer.py and demonstrated on the toy tasks in BASELINE.md).
+    per-shard forward/backward. Grads are pre-scaled by their cross-shard
+    weight (token-count weighted when the task reports ``n_tokens``, else
+    1/D — both reproduce the baseline path's global mean), cast to
+    ``rdtype`` (this is what the wire carries), ``psum``'d, then cast back
+    to f32 for optax. bf16 shares f32's exponent range, so the cast cannot
+    overflow; the D-way bf16 accumulation noise is far below SGD gradient
+    noise (accuracy-neutrality is tested in tests/test_trainer.py and
+    demonstrated on the toy tasks in BASELINE.md).
     """
     from jax.sharding import PartitionSpec as P
-
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
 
     ndev = mesh.shape[data_axis]
 
@@ -302,11 +303,19 @@ def _reduced_precision_grads(
         (loss, (metrics, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable, state, batch, q_rng, dropout_rng)
+        if isinstance(metrics, dict) and "n_tokens" in metrics:
+            # masked seq loss: the local loss is a mean over the shard's
+            # live tokens, so the global token mean weights each shard by
+            # its token count (== the baseline path's global masked mean)
+            n_local = metrics["n_tokens"].astype(jnp.float32)
+            w = n_local / jax.lax.psum(n_local, data_axis)
+        else:
+            w = 1.0 / ndev
         grads = jax.lax.psum(
-            jax.tree.map(lambda g: (g / ndev).astype(rdtype), grads), data_axis
+            jax.tree.map(lambda g: (g * w).astype(rdtype), grads), data_axis
         )
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-        loss = jax.lax.pmean(loss, data_axis)
+        loss = jax.lax.psum(loss * w, data_axis)
         metrics = jax.lax.pmean(metrics, data_axis)
         updates = dict(updates)
         carry = updates.pop("carry", None)  # batch-aligned: stays sharded
@@ -318,12 +327,16 @@ def _reduced_precision_grads(
         mesh=mesh,
         in_specs=(P(), P(), P(data_axis), P(), P()),
         out_specs=(P(), P(), P(), P(data_axis), P()),
-        axis_names={data_axis},
     )
     try:
-        fn = shard_map(body, check_vma=False, **kw)
-    except TypeError:  # older shard_map spelling
-        fn = shard_map(body, check_rep=False, **kw)
+        from jax import shard_map
+
+        fn = shard_map(body, check_vma=False, axis_names={data_axis}, **kw)
+    except ImportError:  # pre-0.8 jax: experimental spelling, no axis_names
+        from jax.experimental.shard_map import shard_map as _exp_shard_map
+
+        auto = frozenset(n for n in mesh.axis_names if n != data_axis)
+        fn = _exp_shard_map(body, check_rep=False, auto=auto, **kw)
     loss, metrics, updates, carry, grads = fn(
         trainable, state, batch, q_rng, dropout_rng
     )

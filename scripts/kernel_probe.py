@@ -101,7 +101,7 @@ def main():
 
             def body(c):
                 i, state, tok = c
-                new_state, attn_h = _decode_body(
+                new_state, attn_h, _ = _decode_body(
                     dec, state, tok, keys_b, enc_out_b, enc_mask_b
                 )
                 if args.step == "nogen":

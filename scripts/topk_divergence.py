@@ -112,7 +112,7 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
     from quantized_distillation_tpu.kernels import dequant_matmul
     from quantized_distillation_tpu.kernels.topk_fused import dequant_matmul_topk
     from quantized_distillation_tpu.serve.beam import (
-        BeamState, NEG_INF, expand_to_beams, step_beams,
+        expand_to_beams, init_beam_state, step_beams,
     )
     from quantized_distillation_tpu.serve.infer import (
         _decode_body, beam_search_packed, encode_packed, pack_decoder,
@@ -132,63 +132,85 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
     params = jax.tree.map(jnp.asarray, params)  # numpy -> device arrays
     variables = {"params": params}
     dec = pack_decoder(params, model.cfg, bits)
+    # shared-rounding control: at f32 compute both kernels see (numerically)
+    # the same logits, so certificate soundness must hold EXACTLY — any
+    # certified mismatch there is a logic bug, not a rounding tie
+    dec_f32 = pack_decoder(params, model.cfg, bits, compute_dtype=jnp.float32)
     vsize = len(train_corpus.tgt_vocab)
     k = beam
 
     # one jitted program for the whole per-step measurement
-    def measure_step(beam_state, t, keys_b, enc_out_b, enc_mask_b):
-        tokens = beam_state.last_token.reshape(-1)
-        new_state, attn_h = _decode_body(
-            dec, beam_state.decoder_state, tokens, keys_b, enc_out_b, enc_mask_b
-        )
-        logits = dequant_matmul(
-            attn_h, dec.generator, compute_dtype=dec.compute_dtype
-        )[:, :vsize]
-        ev, ei = jax.lax.top_k(logits, k)
-        live = ~beam_state.finished.reshape(-1)
-        stats = {}
-        for slots in (2, 4):
-            fv, fi, _, cert = dequant_matmul_topk(
-                attn_h, dec.generator, k,
-                compute_dtype=dec.compute_dtype, slots=slots, certify=True,
+    def make_measure_step(d):
+        def measure_step(beam_state, t, keys_b, enc_out_b, enc_mask_b):
+            tokens = beam_state.last_token.reshape(-1)
+            new_state, attn_h, _ = _decode_body(
+                d, beam_state.decoder_state, tokens, keys_b, enc_out_b, enc_mask_b
             )
-            # set comparison (ties can permute equal-valued entries)
-            match = (
-                jnp.sort(fi, axis=1) == jnp.sort(ei.astype(jnp.int32), axis=1)
-            ).all(axis=1)
-            top1 = fi[:, 0] == ei[:, 0].astype(jnp.int32)
-            # value gap between the fused and exact top-k SETS: the fused
-            # kernel folds the bucket affine into bf16 WEIGHTS while the
-            # plain kernel folds it into bf16 activations, so near-degenerate
-            # logits can order differently across the two kernels — an
-            # index "mismatch" whose top-k VALUES agree to numeric noise is
-            # a cross-kernel tie, not a lane-collision miss
-            vgap = jnp.max(
-                jnp.abs(jnp.sort(fv, axis=1) - jnp.sort(ev, axis=1)), axis=1
+            logits = dequant_matmul(
+                attn_h, d.generator, compute_dtype=d.compute_dtype
+            )[:, :vsize]
+            ev, ei = jax.lax.top_k(logits, k)
+            live = ~beam_state.finished.reshape(-1)
+            stats = {}
+            for slots in (2, 4):
+                fv, fi, _, cert = dequant_matmul_topk(
+                    attn_h, d.generator, k,
+                    compute_dtype=d.compute_dtype, slots=slots, certify=True,
+                )
+                # set comparison (ties can permute equal-valued entries)
+                match = (
+                    jnp.sort(fi, axis=1) == jnp.sort(ei.astype(jnp.int32), axis=1)
+                ).all(axis=1)
+                top1 = fi[:, 0] == ei[:, 0].astype(jnp.int32)
+                # value gap between the fused and exact top-k SETS: the fused
+                # kernel folds the bucket affine into bf16 WEIGHTS while the
+                # plain kernel folds it into bf16 activations, so near-
+                # degenerate logits can order differently across the two
+                # kernels — an index "mismatch" whose top-k VALUES agree to
+                # numeric noise is a cross-kernel tie, not a lane-collision
+                # miss. The noise bound is scaled per row from the logit
+                # magnitude (a few bf16 ulps relative), not a fixed absolute.
+                vgap = jnp.max(
+                    jnp.abs(jnp.sort(fv, axis=1) - jnp.sort(ev, axis=1)), axis=1
+                )
+                row_mag = jnp.maximum(jnp.max(jnp.abs(ev), axis=1), 1.0)
+                vgap_rel = vgap / row_mag  # in units of the row's logit scale
+                unsound = live & ~match & (cert[:, 0] == 1)
+                stats[slots] = {
+                    "rows": live.sum(),
+                    "mismatch": (live & ~match).sum(),
+                    "top1_mismatch": (live & ~top1).sum(),
+                    "cert_fail": (live & (cert[:, 0] == 0)).sum(),
+                    "unsound": unsound.sum(),
+                    "mismatch_vgap_max": jnp.max(
+                        jnp.where(live & ~match, vgap, 0.0)
+                    ),
+                    "mismatch_vgap_rel_max": jnp.max(
+                        jnp.where(live & ~match, vgap_rel, 0.0)
+                    ),
+                    "unsound_vgap_max": jnp.max(jnp.where(unsound, vgap, 0.0)),
+                    "unsound_vgap_rel_max": jnp.max(
+                        jnp.where(unsound, vgap_rel, 0.0)
+                    ),
+                }
+            new_beam = step_beams(
+                lambda s, tk: (new_state, logits), beam_state, t, beam_size=k
             )
-            unsound = live & ~match & (cert[:, 0] == 1)
-            stats[slots] = {
-                "rows": live.sum(),
-                "mismatch": (live & ~match).sum(),
-                "top1_mismatch": (live & ~top1).sum(),
-                "cert_fail": (live & (cert[:, 0] == 0)).sum(),
-                "unsound": unsound.sum(),
-                "mismatch_vgap_max": jnp.max(
-                    jnp.where(live & ~match, vgap, 0.0)
-                ),
-                "unsound_vgap_max": jnp.max(jnp.where(unsound, vgap, 0.0)),
-            }
-        new_beam = step_beams(
-            lambda s, tk: (new_state, logits), beam_state, t, beam_size=k
-        )
-        return new_beam, stats
+            return new_beam, stats
 
-    measure_step = jax.jit(measure_step)
+        return jax.jit(measure_step)
+
+    measure_step = make_measure_step(dec)
+    measure_step_f32 = make_measure_step(dec_f32)
 
     count_keys = ("rows", "mismatch", "top1_mismatch", "cert_fail", "unsound")
-    gap_keys = ("mismatch_vgap_max", "unsound_vgap_max")
+    gap_keys = (
+        "mismatch_vgap_max", "mismatch_vgap_rel_max",
+        "unsound_vgap_max", "unsound_vgap_rel_max",
+    )
     totals = {s: {m: 0 for m in count_keys} for s in (2, 4)}
     gaps = {s: {m: 0.0 for m in gap_keys} for s in (2, 4)}
+    f32_unsound = 0
     bleu_rows = []
     for seed in range(n_seeds):
         test = build_corpus(batch, 1000 + seed)
@@ -201,16 +223,8 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
         enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
         state_b = expand_to_beams(st, k)
         b = src.shape[0]
-        beam_state = BeamState(
-            decoder_state=state_b,
-            tokens=jnp.full((b, k, max_len), PAD, jnp.int32),
-            last_token=jnp.full((b, k), BOS, jnp.int32),
-            scores=jnp.tile(
-                jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1)
-            ),
-            finished=jnp.zeros((b, k), bool),
-            lengths=jnp.zeros((b, k), jnp.int32),
-        )
+        beam_state = init_beam_state(state_b, b, k, max_len)
+        beam_state_f32 = beam_state if seed == 0 else None
         for t in range(max_len):
             beam_state, stats = measure_step(
                 beam_state, jnp.asarray(t), keys_b, enc_out_b, enc_mask_b
@@ -220,6 +234,12 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
                     totals[s][m] += int(stats[s][m])
                 for m in gap_keys:
                     gaps[s][m] = max(gaps[s][m], float(stats[s][m]))
+            if beam_state_f32 is not None:
+                # shared-rounding control walk (seed 0): unsound must be 0
+                beam_state_f32, st32 = measure_step_f32(
+                    beam_state_f32, jnp.asarray(t), keys_b, enc_out_b, enc_mask_b
+                )
+                f32_unsound += sum(int(st32[s]["unsound"]) for s in (2, 4))
 
         # end-to-end: fused (slots=2) vs exact logits path
         cfg = BeamConfig(beam_size=k, max_len=max_len)
@@ -243,7 +263,8 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
               f"token agreement {tok_agree:.4f}", file=sys.stderr)
 
     out = {"vocab": vsize, "beam": k, "bits": bits, "steps": max_len,
-           "seeds": n_seeds, "per_step": {}, "end_to_end": bleu_rows}
+           "seeds": n_seeds, "per_step": {}, "end_to_end": bleu_rows,
+           "f32_shared_rounding_unsound": f32_unsound}
     for s in (2, 4):
         r = max(totals[s]["rows"], 1)
         out["per_step"][f"slots{s}"] = {
@@ -253,7 +274,9 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
             "cert_fail_rate": totals[s]["cert_fail"] / r,
             "unsound_certificates": totals[s]["unsound"],
             "mismatch_value_gap_max": gaps[s]["mismatch_vgap_max"],
+            "mismatch_value_gap_rel_max": gaps[s]["mismatch_vgap_rel_max"],
             "unsound_value_gap_max": gaps[s]["unsound_vgap_max"],
+            "unsound_value_gap_rel_max": gaps[s]["unsound_vgap_rel_max"],
         }
     print(json.dumps(out))
     # Certificate soundness holds w.r.t. the fused kernel's OWN logits; the
@@ -261,14 +284,25 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
     # rounding differs (activation-side vs weight-side affine fold), so a
     # certified row may legitimately disagree on near-degenerate logits.
     # Material unsoundness = a certified row whose top-k VALUES are off by
-    # more than cross-kernel numeric noise — that would be a logic bug.
-    noise = 0.25  # |logits| <= ~30, two bf16 roundings ~ 2*2^-8 relative
+    # more than cross-kernel numeric noise. Bound: a few bf16 ulps RELATIVE
+    # to the row's logit magnitude (two independent bf16 roundings per
+    # logit, 2^-8 each, + accumulation order -> 8*2^-8 = 3.1% is generous
+    # while still catching any genuine wrong-index miss, whose value gap is
+    # O(the inter-logit spacing), not O(ulp)). A fixed absolute bound would
+    # silently absorb real misses on small-magnitude rows (round-3 advice).
+    noise_rel = 8.0 * 2.0 ** -8
     for s in (2, 4):
         if totals[s]["unsound"]:
-            assert gaps[s]["unsound_vgap_max"] <= noise, (
-                f"slots{s}: certified row diverges beyond numeric noise "
-                f"({gaps[s]['unsound_vgap_max']})"
+            assert gaps[s]["unsound_vgap_rel_max"] <= noise_rel, (
+                f"slots{s}: certified row diverges beyond relative numeric "
+                f"noise ({gaps[s]['unsound_vgap_rel_max']:.4f} > {noise_rel:.4f})"
             )
+    # With shared f32 rounding there is no cross-kernel tie band at all:
+    # any certified mismatch is a real lane-collision the certificate
+    # failed to flag — a logic bug. Hard zero.
+    assert f32_unsound == 0, (
+        f"f32 shared-rounding control found {f32_unsound} unsound certificates"
+    )
 
 
 if __name__ == "__main__":

@@ -93,6 +93,92 @@ class TestBeamSearch:
         assert float(lp2[0]) < float(lp2[1])
 
 
+class TestBackpointers:
+    def test_reconstruct_matches_python_walk(self):
+        """Backpointer reconstruction (reference onmt/Beam.py get_hyp) vs an
+        independent per-hypothesis python walk, on random histories."""
+        from quantized_distillation_tpu.serve import reconstruct_tokens
+
+        rng = np.random.default_rng(3)
+        b, k, t = 4, 5, 13
+        sym = rng.integers(0, 50, (b, k, t)).astype(np.int32)
+        par = rng.integers(0, k, (b, k, t)).astype(np.int8)
+        out = np.asarray(reconstruct_tokens(jnp.asarray(sym), jnp.asarray(par)))
+        for bi in range(b):
+            for ki in range(k):
+                cur = ki
+                for ti in range(t - 1, -1, -1):
+                    assert out[bi, ki, ti] == sym[bi, cur, ti]
+                    cur = par[bi, cur, ti]
+
+    def test_identity_parents_reconstruct_in_place(self):
+        from quantized_distillation_tpu.serve import reconstruct_tokens
+
+        rng = np.random.default_rng(4)
+        sym = jnp.asarray(rng.integers(0, 9, (2, 3, 6)), jnp.int32)
+        par = jnp.broadcast_to(
+            jnp.arange(3, dtype=jnp.int8)[None, :, None], (2, 3, 6)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reconstruct_tokens(sym, par)), np.asarray(sym)
+        )
+
+
+class TestCoveragePenalty:
+    def test_penalty_formula_and_padding_mask(self):
+        from quantized_distillation_tpu.serve import coverage_penalty
+
+        cov = jnp.asarray([[[0.5, 2.0, 0.0, 1.0]]])  # zero = masked padding
+        cp = coverage_penalty(cov, 0.3)
+        # min(cov,1): log(0.5) + log(1) + skip + log(1)
+        np.testing.assert_allclose(
+            np.asarray(cp), [[0.3 * np.log(0.5)]], rtol=1e-6
+        )
+
+    def test_greedy_score_shift_matches_manual_coverage(self, random_model):
+        """beam_size=1: the coverage-penalized score must equal the raw score
+        plus beta*sum(log(min(cov,1))) with coverage accumulated from the
+        model's own attention weights while the hypothesis is live."""
+        m, v, src, src_len = random_model
+        beta, t_max = 0.5, 6
+        t0, s0 = beam_search(m, v, src, src_len,
+                             BeamConfig(beam_size=1, max_len=t_max))
+        t1, s1 = beam_search(
+            m, v, src, src_len,
+            BeamConfig(beam_size=1, max_len=t_max, coverage_penalty=beta),
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        # manual greedy walk accumulating align
+        enc_out, enc_mask, state = m.apply(v, src, src_len, method=m.encode)
+        cur = jnp.full((2,), 1, jnp.int32)
+        done = np.zeros(2, bool)
+        cov = np.zeros((2, src.shape[1]))
+        for _ in range(t_max):
+            state, logits, align = m.apply(
+                v, state, cur, enc_out, enc_mask, method=m.decode_step_attn
+            )
+            cov += np.where(done[:, None], 0.0, np.asarray(align))
+            cur = jnp.argmax(logits, -1).astype(jnp.int32)
+            done |= np.asarray(cur) == EOS
+        expected = beta * np.where(cov > 0, np.log(np.minimum(cov, 1.0)), 0.0).sum(1)
+        np.testing.assert_allclose(
+            np.asarray(s1) - np.asarray(s0), expected, rtol=1e-4, atol=1e-5
+        )
+
+    def test_packed_paths_agree_with_coverage(self, random_model):
+        from quantized_distillation_tpu.serve import beam_search_packed, pack_decoder
+
+        m, v, src, src_len = random_model
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=3, max_len=8, coverage_penalty=0.4)
+        tf_, sf = beam_search_packed(m, v, dec, src, src_len, cfg, fused_topk=True)
+        tp, sp = beam_search_packed(m, v, dec, src, src_len, cfg, fused_topk=False)
+        np.testing.assert_array_equal(np.asarray(tf_), np.asarray(tp))
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(sp), rtol=1e-5)
+
+
 class TestBLEU:
     def test_perfect_match(self):
         h = [["a", "b", "c", "d"], ["x", "y", "z", "w"]]

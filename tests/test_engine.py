@@ -154,6 +154,64 @@ class TestEngineEquivalence:
         assert eng.steps_run == 12  # all four decode to max_tgt_len in lockstep
         assert eng.tokens_emitted == 4 * 12
 
+    def test_adaptive_chunking_equivalence(self, setup):
+        # chunk length varies per chunk at runtime (chunk_steps_busy while
+        # the queue is non-empty) — decode results must be unchanged
+        m, v, sents, ref = setup
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=12,
+            beam=BeamConfig(beam_size=3, max_len=12),
+            admit_batch=4, chunk_steps=4, chunk_steps_busy=1,
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids = {}
+        res = {}
+        arrival = {0: [0, 1], 1: [2, 3, 4, 5], 3: [6, 7, 8, 9, 10]}
+        chunk = 0
+        while len(res) < len(sents):
+            for i in arrival.get(chunk, []):
+                rids[eng.submit(sents[i])] = i
+            for c in eng.step():
+                res[c.request_id] = c
+            chunk += 1
+            assert chunk < 400
+        for rid, i in rids.items():
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
+    def test_explicit_chunk_steps_arg(self, setup):
+        m, v, sents, ref = setup
+        eng = TranslationEngine(m, v, _cfg(2))
+        rid = eng.submit(sents[0])
+        out = []
+        for n in (1, 3, 2, 6):  # different runtime chunk lengths, one program
+            out.extend(eng.step(chunk_steps=n))
+        assert eng.steps_run == 12
+        assert out and out[0].request_id == rid
+        np.testing.assert_array_equal(out[0].tokens, ref[0])
+
+    def test_large_t_max_same_results(self, setup):
+        # backpointer histories: per-step cost and results are t_max-
+        # independent; a 16x-deeper grid must match offline at that depth
+        m, v, sents, _ = setup
+        t_big = 192
+        src_pad = np.zeros((5, 16), np.int32)
+        for i, s in enumerate(sents[:5]):
+            src_pad[i, : len(s)] = s
+        slen = np.asarray([len(s) for s in sents[:5]], np.int32)
+        ref_big, _ = beam_search(
+            m, v, jnp.asarray(src_pad), jnp.asarray(slen),
+            BeamConfig(beam_size=3, max_len=t_big),
+        )
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=t_big,
+            beam=BeamConfig(beam_size=3, max_len=t_big),
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids = [eng.submit(s) for s in sents[:5]]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, np.asarray(ref_big)[i])
+
 
 def test_drive_chunks_advances_and_syncs(setup):
     """Public timing entry point (bench.py --engine): pipelined chunk
