@@ -429,6 +429,11 @@ def main():
         help="bench the continuous-batching engine (throughput + churn)",
     )
     p.add_argument(
+        "--t-max", type=int, default=256,
+        help="--engine grid target-length cap (4096 re-measures the "
+        "round-3 cliff point, now structurally gone via backpointers)",
+    )
+    p.add_argument(
         "--offline-tok-s", type=float, default=0.0,
         help="offline beam tokens/s (default-mode output) for --engine's "
         "vs_baseline ratio",
