@@ -92,6 +92,7 @@ def _topk_kernel(
     is_s,
     se_s,
     disc_s,
+    shift_s,
     *,
     bits,
     group,
@@ -100,6 +101,8 @@ def _topk_kernel(
     k,
     n_steps,
     slots,
+    streams,
+    lse_shift,
     certify,
 ):
     """Inputs per grid step j:
@@ -139,11 +142,11 @@ def _topk_kernel(
 
     @pl.when(j == 0)
     def _init():
-        vs_s[:] = jnp.full((m, slots * LANES), NEG, jnp.float32)
-        is_s[:] = jnp.zeros((m, slots * LANES), jnp.int32)
-        se_s[:] = jnp.zeros((m, LANES), jnp.float32)
+        vs_s[:] = jnp.full((m, streams * slots * LANES), NEG, jnp.float32)
+        is_s[:] = jnp.zeros((m, streams * slots * LANES), jnp.int32)
+        se_s[:] = jnp.zeros((m, streams * LANES), jnp.float32)
         if certify:
-            disc_s[:] = jnp.full((m, LANES), NEG, jnp.float32)
+            disc_s[:] = jnp.full((m, streams * LANES), NEG, jnp.float32)
 
     x = x_ref[:]
     xc = x.astype(compute_dtype)
@@ -178,22 +181,42 @@ def _topk_kernel(
             precision=_dot_precision(compute_dtype),
         )
 
-    # running select state, loaded once per grid step
-    vs = [vs_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
-    iv = [is_s[:, t * LANES : (t + 1) * LANES] for t in range(slots)]
-    se = se_s[:]
-    disc = disc_s[:] if certify else None
+    # running select state, loaded once per grid step. Layout: stream-major —
+    # stream st's slot t lives at lane block [st*slots + t]. With streams > 1
+    # consecutive chunks go to INDEPENDENT survivor sets, which cuts the
+    # serial compare->select dependency chain between chunks by the stream
+    # factor (the VPU stream is latency-, not throughput-bound: slots=1 ~
+    # slots=2 measured); the sets union at finalize, so per-lane-class
+    # exactness properties are unchanged (>= slots survivors per class).
+    def blk(i):
+        return slice(i * LANES, (i + 1) * LANES)
+
+    vs = [
+        [vs_s[:, blk(st * slots + t)] for t in range(slots)]
+        for st in range(streams)
+    ]
+    iv = [
+        [is_s[:, blk(st * slots + t)] for t in range(slots)]
+        for st in range(streams)
+    ]
+    se = [se_s[:, blk(st)] for st in range(streams)]
+    disc = [disc_s[:, blk(st)] for st in range(streams)] if certify else None
+    # the row shift is stored lane-broadcast (Mosaic lane blocks must be
+    # 128-wide); every lane carries the same value
+    shift = shift_s[:] if lse_shift else None
     mask_pad = n_true < n_steps * c
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1) if mask_pad else None
     )
+    CLAMP = 70.0  # fixed-shift lse: exp arg cap (see dequant_matmul_topk)
 
     def select_bucket(b):
-        nonlocal se, disc
+        nonlocal disc, shift
         tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
         off_b = off[:, b : b + 1]
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
+            st = (b * tpb + tt) % streams
             v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
                 off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
             )
@@ -203,31 +226,46 @@ def _topk_kernel(
                 # when the caller neg-bias-masked the padding instead (see
                 # serve.sharded.pack_generator_sharded).
                 v = jnp.where(lane + chunk * LANES < n_true, v, NEG)
-            # slot 0 doubles as the per-lane max for the streaming
-            # logsumexp: loser - winner, so ONE exp covers both branches:
-            #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
-            #   !upd:  se*exp(0)                + exp(v - max) = se + e
-            upd = v > vs[0]
-            winner = jnp.maximum(v, vs[0])
-            loser = jnp.minimum(v, vs[0])
-            e = jnp.exp(loser - winner)
-            se = se * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
-            cur_i = jnp.where(upd, iv[0], chunk)
-            iv[0] = jnp.where(upd, chunk, iv[0])
-            vs[0] = winner
+            if lse_shift and b == 0 and tt == 0:
+                # grid step 0's first chunk pins the row shift (a real logit
+                # of the row, so the row sum-of-exp is always >= 1)
+                shift = jnp.where(
+                    j == 0,
+                    jnp.broadcast_to(
+                        jnp.max(v, axis=1, keepdims=True), (m, LANES)
+                    ),
+                    shift,
+                )
+            upd = v > vs[st][0]
+            winner = jnp.maximum(v, vs[st][0])
+            loser = jnp.minimum(v, vs[st][0])
+            if lse_shift:
+                # fixed-shift streaming sum: no rescale selects, and the
+                # se chain is a bare add (shorter critical path)
+                se[st] = se[st] + jnp.exp(jnp.minimum(v - shift, CLAMP))
+            else:
+                # slot 0 doubles as the per-lane max for the streaming
+                # logsumexp: loser - winner, so ONE exp covers both branches:
+                #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
+                #   !upd:  se*exp(0)                + exp(v - max) = se + e
+                e = jnp.exp(loser - winner)
+                se[st] = se[st] * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
+            cur_i = jnp.where(upd, iv[st][0], chunk)
+            iv[st][0] = jnp.where(upd, chunk, iv[st][0])
+            vs[st][0] = winner
             cur_v = loser
             # the displaced value ripples down the remaining slots
             for s_ in range(1, slots):
-                u = cur_v > vs[s_]
-                nv = jnp.maximum(cur_v, vs[s_])
-                ni = jnp.where(u, cur_i, iv[s_])
-                cur_v = jnp.minimum(cur_v, vs[s_])
-                cur_i = jnp.where(u, iv[s_], cur_i)
-                vs[s_], iv[s_] = nv, ni
+                u = cur_v > vs[st][s_]
+                nv = jnp.maximum(cur_v, vs[st][s_])
+                ni = jnp.where(u, cur_i, iv[st][s_])
+                cur_v = jnp.minimum(cur_v, vs[st][s_])
+                cur_i = jnp.where(u, iv[st][s_], cur_i)
+                vs[st][s_], iv[st][s_] = nv, ni
             # cur_v fell out of the kept set: certificate bound (when off,
             # the dangling cur_v/cur_i of the last ripple are dead code)
             if certify:
-                disc = jnp.maximum(disc, cur_v)
+                disc[st] = jnp.maximum(disc[st], cur_v)
 
     # software pipeline: issue dot(b) on the MXU, then stream select(b-1)
     # on the VPU while it runs
@@ -237,21 +275,27 @@ def _topk_kernel(
         select_bucket(b - 1)
     select_bucket(group - 1)
 
-    for t in range(slots):
-        vs_s[:, t * LANES : (t + 1) * LANES] = vs[t]
-        is_s[:, t * LANES : (t + 1) * LANES] = iv[t]
-    se_s[:] = se
-    if certify:
-        disc_s[:] = disc
+    for st in range(streams):
+        for t in range(slots):
+            vs_s[:, blk(st * slots + t)] = vs[st][t]
+            is_s[:, blk(st * slots + t)] = iv[st][t]
+        se_s[:, blk(st)] = se[st]
+        if certify:
+            disc_s[:, blk(st)] = disc[st]
+    if lse_shift:
+        shift_s[:] = shift
 
-    # ---- last step: pop global top-k from the [M, slots*128] survivors
+    # ---- last step: pop global top-k from the [M, streams*slots*128]
+    # survivor union
     @pl.when(j == n_steps - 1)
     def _finalize():
-        cand = jnp.concatenate(vs, axis=1)  # [M, slots*128]
-        width = slots * LANES
+        flat_vs = [vs[st][t] for st in range(streams) for t in range(slots)]
+        flat_iv = [iv[st][t] for st in range(streams) for t in range(slots)]
+        cand = jnp.concatenate(flat_vs, axis=1)  # [M, streams*slots*128]
+        width = streams * slots * LANES
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, width), 1)
         # survivors carry chunk ids; vocab id = chunk*128 + lane class
-        cidx = jnp.concatenate(iv, axis=1) * LANES + pos_iota % LANES
+        cidx = jnp.concatenate(flat_iv, axis=1) * LANES + pos_iota % LANES
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
         buf_v = jnp.full((m, LANES), NEG, jnp.float32)
         buf_i = jnp.zeros((m, LANES), jnp.int32)
@@ -272,16 +316,35 @@ def _topk_kernel(
         # certificate: the row's top-k is PROVABLY exact when even the best
         # discarded value could not have displaced the k-th selection
         if certify:
-            row_disc = jnp.max(disc, axis=1, keepdims=True)  # [M, 1]
+            row_disc = jnp.max(
+                jnp.concatenate(disc, axis=1), axis=1, keepdims=True
+            )  # [M, 1]
             out_cert[:] = jnp.broadcast_to(
                 (kth > row_disc).astype(jnp.int32), (m, LANES)
             )
         else:
             out_cert[:] = jnp.zeros((m, LANES), jnp.int32)
-        # exact lse: per-lane (max, sumexp) -> row
-        row_m = jnp.max(vs[0], axis=1, keepdims=True)  # [M, 1]
-        total = jnp.sum(se * jnp.exp(vs[0] - row_m), axis=1, keepdims=True)
-        out_lse[:] = jnp.broadcast_to(row_m + jnp.log(total), (m, LANES))
+        if lse_shift:
+            # all streams share one shift: lse = shift + log(sum of exps)
+            total = sum(
+                jnp.sum(se[st], axis=1, keepdims=True) for st in range(streams)
+            )
+            out_lse[:] = jnp.broadcast_to(
+                shift + jnp.log(total), (m, LANES)
+            )
+        else:
+            # exact lse: per-stream per-lane (max, sumexp) -> row
+            row_m = jnp.max(
+                jnp.concatenate([vs[st][0] for st in range(streams)], axis=1),
+                axis=1, keepdims=True,
+            )  # [M, 1]
+            total = sum(
+                jnp.sum(
+                    se[st] * jnp.exp(vs[st][0] - row_m), axis=1, keepdims=True
+                )
+                for st in range(streams)
+            )
+            out_lse[:] = jnp.broadcast_to(row_m + jnp.log(total), (m, LANES))
 
 
 def _sublane(dtype) -> int:
@@ -316,7 +379,8 @@ def pick_generator_group(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "compute_dtype", "interpret", "use_pallas", "slots", "certify",
+        "k", "compute_dtype", "interpret", "use_pallas", "slots", "streams",
+        "lse_shift", "certify",
     ),
 )
 def dequant_matmul_topk(
@@ -328,6 +392,8 @@ def dequant_matmul_topk(
     interpret: bool = False,
     use_pallas: bool = True,
     slots: int = 2,
+    streams: int = 1,
+    lse_shift: bool = False,
     certify: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
@@ -339,11 +405,31 @@ def dequant_matmul_topk(
     row's top-k is provably exact (k-th value beats every discarded value).
     Falls back to the exact jnp reference when ``use_pallas`` is False
     (CPU path).
+
+    Latency knobs (identical selection semantics, A/B via
+    scripts/kernel_probe.py):
+
+    - ``streams``: interleave consecutive vocab chunks across this many
+      INDEPENDENT survivor sets (unioned at finalize), cutting the serial
+      compare->select chain between chunks by the stream factor. Per-lane-
+      class exactness is preserved (each class still keeps >= ``slots``
+      survivors, split across streams); the certificate accounts for all
+      streams' discard bounds.
+    - ``lse_shift``: replace the streaming-max logsumexp rescale with a
+      fixed per-row shift pinned from the row's first 128 logits. The sum
+      of exps is then always >= 1 (the shift is itself a row logit), so no
+      underflow; exp args are clamped at +70, so rows whose logit SPREAD
+      exceeds ~70 above the first-chunk max saturate the lse (top-k is
+      unaffected) — impossible for softmax-trained generators, documented
+      for adversarial inputs. Within that bound the result is f32-accurate
+      like the streaming path.
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
     if not 1 <= slots <= KMAX:
         raise ValueError(f"slots must be in [1, {KMAX}], got {slots}")
+    if streams not in (1, 2, 4):
+        raise ValueError(f"streams must be 1, 2 or 4, got {streams}")
     if not use_pallas:
         ref = dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
         if certify:
@@ -391,6 +477,8 @@ def dequant_matmul_topk(
         k=k,
         n_steps=n_steps,
         slots=slots,
+        streams=streams,
+        lse_shift=lse_shift,
         certify=certify,
     )
     if p.points is not None:
@@ -415,10 +503,11 @@ def dequant_matmul_topk(
     scratch = [
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # even-bucket logits tile
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # odd-bucket logits tile
-        pltpu.VMEM((mpad, slots * LANES), jnp.float32),  # top-s values
-        pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s chunk ids
-        pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
-        pltpu.VMEM((mpad, LANES), jnp.float32),  # discard bound (certificate)
+        pltpu.VMEM((mpad, streams * slots * LANES), jnp.float32),  # top-s values
+        pltpu.VMEM((mpad, streams * slots * LANES), jnp.int32),  # top-s chunk ids
+        pltpu.VMEM((mpad, streams * LANES), jnp.float32),  # sum-exp
+        pltpu.VMEM((mpad, streams * LANES), jnp.float32),  # discard (certificate)
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # lse row shift (lane-bcast)
     ]
     flops = 2 * mpad * kk * npad
     vals, idx, lse, cert = pl.pallas_call(
@@ -449,6 +538,7 @@ def dequant_matmul_topk(
 
 
 def _with_none_points(x_ref, w_ref, s_ref, o_ref, bias_ref, *rest, **kw):
+    """Uniform-grid variant: pts_ref slot is absent from the operand list."""
     _topk_kernel(x_ref, w_ref, s_ref, o_ref, bias_ref, None, *rest, **kw)
 
 

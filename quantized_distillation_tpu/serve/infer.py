@@ -65,6 +65,10 @@ class PackedDecoder(struct.PyTreeNode):
     # 2 = fastest (collisions certifiable, see kernels.topk_fused),
     # >= beam_size = mathematically exact for any logits
     topk_slots: int = struct.field(pytree_node=False, default=2)
+    # latency knobs of the fused kernel (see dequant_matmul_topk docstring):
+    # interleaved independent select streams + fixed-shift lse
+    topk_streams: int = struct.field(pytree_node=False, default=1)
+    topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
 
 
 def _fuse_cell(cell_params: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -88,6 +92,8 @@ def pack_decoder(
     use_pallas: bool = True,
     generator_group: int = 16,
     topk_slots: int = 2,
+    topk_streams: int = 1,
+    topk_lse_shift: bool = False,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 
@@ -158,6 +164,8 @@ def pack_decoder(
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
         topk_slots=topk_slots,
+        topk_streams=topk_streams,
+        topk_lse_shift=topk_lse_shift,
     )
 
 
@@ -310,6 +318,8 @@ def packed_decode_step_topk(
         compute_dtype=dec.compute_dtype,
         use_pallas=dec.use_pallas,
         slots=dec.topk_slots,
+        streams=dec.topk_streams,
+        lse_shift=dec.topk_lse_shift,
     )
     if with_align:
         return new_state, cand, align

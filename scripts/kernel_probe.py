@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--slots", type=int, default=2)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="independent interleaved select streams (1/2/4)")
+    ap.add_argument("--lse-shift", action="store_true",
+                    help="fixed-shift lse instead of streaming-max rescale")
     ap.add_argument(
         "--group", type=int, default=0,
         help="buckets/grid-step; 0 = auto from the kernel's VMEM budget",
@@ -184,7 +188,9 @@ def main():
         def body(x):
             out = dequant_matmul_topk(
                 x, p, args.topk, compute_dtype=jnp.bfloat16,
-                slots=args.slots, certify=args.certify, interpret=interp,
+                slots=args.slots, streams=args.streams,
+                lse_shift=args.lse_shift, certify=args.certify,
+                interpret=interp,
             )
             return x + 1e-12 * (out[0].sum() + out[2].sum())
 
@@ -219,6 +225,8 @@ def main():
         else "dense+topk+lse" if args.dense
         else "plain" if args.plain
         else f"topk{args.topk}/slots{args.slots}"
+        + (f"/streams{args.streams}" if args.streams > 1 else "")
+        + ("+lseshift" if args.lse_shift else "")
         + ("+cert" if args.certify else "")
     )
     print(
