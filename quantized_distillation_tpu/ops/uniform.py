@@ -113,11 +113,42 @@ def fake_quant(
     scaling: str = LINEAR,
     stochastic: bool = False,
     key: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Quantize-dequantize roundtrip (no gradient definition).
 
     Equivalent to the value the reference writes into ``param.data`` each step.
+
+    On TPU backends the deterministic path runs through the single-pass
+    Pallas kernel (:mod:`..kernels.fake_quant` — 1 read + 1 write of the
+    weights instead of XLA's reduce-pass + elementwise-pass; numerically
+    identical formula). ``use_pallas`` overrides the automatic choice;
+    stochastic rounding and non-lane-aligned bucket sizes always take the
+    jnp path.
     """
+    if use_pallas is None:
+        use_pallas = (
+            not stochastic
+            and jax.default_backend() == "tpu"
+            and bucket_size % 128 == 0
+            and x.size >= bucket_size
+        )
+    if use_pallas and not stochastic and bucket_size % 128 == 0:
+        from ..kernels.fake_quant import fake_quant_buckets_pallas
+
+        # detach the kernel input: fake_quant has no gradient of its own
+        # (the STE wrapper routes gradients around it), and a pallas_call
+        # with no registered JVP fails linearization even inside a
+        # stop_gradient REGION — detaching the input keeps the call out of
+        # the autodiff graph entirely
+        buckets, n = to_buckets(jax.lax.stop_gradient(x), bucket_size)
+        qb = fake_quant_buckets_pallas(
+            buckets, bits, scaling=scaling,
+            # explicit use_pallas=True on a CPU backend runs the kernel in
+            # interpret mode (tests exercise the real code path everywhere)
+            interpret=jax.default_backend() == "cpu",
+        )
+        return from_buckets(qb, n, tuple(x.shape)).astype(x.dtype)
     return dequantize(
         quantize(
             x,
@@ -139,6 +170,7 @@ def ste_fake_quant(
     scaling: str = LINEAR,
     stochastic: bool = False,
     key: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fake-quant with straight-through gradient: value ``q(x)``, grad ``1``.
 
@@ -154,5 +186,6 @@ def ste_fake_quant(
         scaling=scaling,
         stochastic=stochastic,
         key=key,
+        use_pallas=use_pallas,
     )
     return x + jax.lax.stop_gradient(q - x)

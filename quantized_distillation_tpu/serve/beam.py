@@ -131,6 +131,39 @@ def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(toks, 0, 2)  # [B, K, T]
 
 
+def unroll_ring(
+    sym: jnp.ndarray,  # [E, K, T_ring] ring-buffer histories
+    parent: jnp.ndarray,  # [E, K, T_ring]
+    start_pos: jnp.ndarray,  # [E] each slot's admission ring position
+    t_len: jnp.ndarray,  # [E] each slot's decode depth
+    *,
+    pad_id: int = PAD,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Align ring-buffer histories to step order for :func:`reconstruct_tokens`.
+
+    The continuous-batching engine writes every slot's history at ONE shared
+    scalar ring position per global inner step — a plain dynamic-update-
+    slice, O(B*K) per step like the offline path, with no per-slot scatter.
+    A slot admitted at global step ``g0`` therefore owns the contiguous ring
+    window ``[g0, g0 + t_len) mod T_ring``. This gathers that window into
+    step order and masks everything outside it to PAD symbols / identity
+    parents (other slots' epochs share the same columns), after which the
+    standard backtrace applies. The ring must be deeper than
+    ``max_tgt_len + (steps a finished slot can sit unextracted)`` — the
+    engine allocates that headroom.
+    """
+    e, k, tp = sym.shape
+    tpr = jnp.arange(tp)[None, :]  # [1, T_ring]
+    src = (start_pos[:, None] + tpr) % tp  # [E, T_ring]
+    valid = tpr < t_len[:, None]  # [E, T_ring]
+    sym_a = jnp.take_along_axis(sym, src[:, None, :], axis=2)
+    par_a = jnp.take_along_axis(parent.astype(jnp.int32), src[:, None, :], axis=2)
+    ident = jnp.arange(k, dtype=jnp.int32)[None, :, None]
+    sym_a = jnp.where(valid[:, None, :], sym_a, pad_id)
+    par_a = jnp.where(valid[:, None, :], par_a, ident)
+    return sym_a, par_a.astype(PARENT_DTYPE)
+
+
 def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((-1,) + x.shape[2:])
 
@@ -173,18 +206,18 @@ def _advance(
     eos_id: int,
     pad_id: int,
     align: Optional[jnp.ndarray] = None,  # [B*K, T_src] pre-reorder attention
-    active: Optional[jnp.ndarray] = None,  # [B] slot-active mask (engine)
 ) -> BeamState:
     """Shared beam-advance tail: reorder by parent, record, track EOS/length.
 
-    History recording is O(B*K): this step's symbol and backpointer are
-    scattered into column ``t`` — no gather of past steps (the reference's
-    ``prevKs`` append). When ``active`` is given (continuous-batching
-    engine), inactive slots' writes are routed out of bounds and dropped,
-    so the caller does not need an O(t_max) merge to protect them.
+    History recording is O(B*K): this step's symbol and backpointer go into
+    column ``t`` via a scalar-indexed dynamic-update-slice — no gather of
+    past steps (the reference's ``prevKs`` append). ``t`` is ALWAYS a
+    scalar: offline decoding uses the scan counter; the continuous-batching
+    engine uses a global ring position shared by every slot (each slot's
+    history is a contiguous window of ring columns — see
+    :func:`unroll_ring`), so the engine never needs per-slot scatter.
     """
     b, k = state.scores.shape
-    t_max = state.sym.shape[2]
     new_dec = _gather_beams(new_dec, parent, b, k)
     gather = jax.vmap(lambda a, i: a[i])
     finished = gather(state.finished, parent)
@@ -201,19 +234,13 @@ def _advance(
             )
     emit = jnp.where(finished, pad_id, token)
     t = jnp.asarray(t)
-    if t.ndim == 0:
-        sym = state.sym.at[:, :, t].set(emit)
-        par = state.parent.at[:, :, t].set(parent.astype(PARENT_DTYPE))
-    else:
-        # per-slot positions (engine): scatter one column per sentence row;
-        # inactive slots write out of bounds and vanish (mode='drop')
-        t_eff = t if active is None else jnp.where(active, t, t_max)
-        bi = jnp.arange(b)[:, None]
-        ki = jnp.arange(k)[None, :]
-        sym = state.sym.at[bi, ki, t_eff[:, None]].set(emit, mode="drop")
-        par = state.parent.at[bi, ki, t_eff[:, None]].set(
-            parent.astype(PARENT_DTYPE), mode="drop"
+    if t.ndim != 0:
+        raise ValueError(
+            "history position t must be a scalar (engine slots share one "
+            "ring position; per-slot windows are unrolled at extraction)"
         )
+    sym = state.sym.at[:, :, t].set(emit)
+    par = state.parent.at[:, :, t].set(parent.astype(PARENT_DTYPE))
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(
@@ -236,14 +263,12 @@ def step_beams(
     beam_size: int,
     eos_id: int = EOS,
     pad_id: int = PAD,
-    active: Optional[jnp.ndarray] = None,
 ) -> BeamState:
     """Advance every sentence's beams one step (the compiled Beam.advance).
 
-    ``t`` is the emit position — a scalar for lockstep (offline) decoding, or
-    a per-sentence ``[B]`` vector for the continuous-batching engine, where
-    every slot sits at its own depth (pass ``active`` there so inactive
-    slots' history writes are dropped).
+    ``t`` is the scalar history-write position — the scan counter for
+    lockstep (offline) decoding, or the shared ring position for the
+    continuous-batching engine (see :func:`unroll_ring`).
 
     ``decode_step(state [B*K,...], tokens [B*K]) -> (state, logits [B*K, V])``
     — or ``(state, logits, align [B*K, T_src])`` when ``state.coverage`` is
@@ -268,7 +293,7 @@ def step_beams(
     token = flat_idx % v
     return _advance(
         state, new_dec, new_scores, parent, token, t,
-        eos_id=eos_id, pad_id=pad_id, align=align, active=active,
+        eos_id=eos_id, pad_id=pad_id, align=align,
     )
 
 
@@ -280,7 +305,6 @@ def step_beams_cand(
     beam_size: int,
     eos_id: int = EOS,
     pad_id: int = PAD,
-    active: Optional[jnp.ndarray] = None,
 ) -> BeamState:
     """Beam advance from per-beam top-k CANDIDATES instead of full logits.
 
@@ -315,7 +339,7 @@ def step_beams_cand(
     token = jax.vmap(lambda tk, i: tk.reshape(-1)[i])(cand_tok, flat_idx)
     return _advance(
         state, new_dec, new_scores, parent, token, t,
-        eos_id=eos_id, pad_id=pad_id, align=align, active=active,
+        eos_id=eos_id, pad_id=pad_id, align=align,
     )
 
 

@@ -51,6 +51,7 @@ from .beam import (
     reconstruct_tokens,
     step_beams,
     step_beams_cand,
+    unroll_ring,
 )
 
 PyTree = Any
@@ -105,6 +106,15 @@ class TranslationEngine:
         self._queue: List[Tuple[int, np.ndarray, int]] = []
         self._slot_req: List[Optional[int]] = [None] * cfg.max_slots
         self._slot_t = np.zeros(cfg.max_slots, np.int32)
+        # Ring-buffer histories: every slot writes at ONE shared scalar ring
+        # position per global inner step (a dynamic-update-slice, O(S*K) per
+        # step — no per-slot scatter, no t_max scaling). A slot's history is
+        # the contiguous ring window starting at its admission position;
+        # headroom covers the steps a finished slot can sit before its
+        # same-chunk extraction (plus bench drive_chunks chunk sizes).
+        self._chunk_cap = max(64, cfg.chunk_steps, cfg.chunk_steps_busy or 0)
+        self._t_hist = cfg.max_tgt_len + self._chunk_cap
+        self._slot_g0 = np.zeros(cfg.max_slots, np.int32)  # admission ring pos
         self._results: List[Completion] = []
         self.steps_run = 0
         self.tokens_emitted = 0
@@ -186,20 +196,19 @@ class TranslationEngine:
 
         self._encode = jax.jit(encode)
 
-        def one_step(grid, t_vec, active):
+        def one_step(grid, pos, t_vec, active):
             enc_keys, enc_out, enc_mask, beam = grid
 
             def ds(st, tokens):
                 return decode_step(enc_keys, enc_out, enc_mask, st, tokens)
 
             stepper = step_beams_cand if use_cand else step_beams
-            # `active` makes the stepper route inactive slots' history
-            # writes out of bounds, so sym/parent need no O(t_max) merge —
-            # the per-step cost is O(S*K) regardless of t_max (backpointer
-            # histories, VERDICT round-3 item 1)
+            # every slot writes its history at the SAME scalar ring position
+            # `pos` — O(S*K) per step regardless of t_max (backpointer ring,
+            # VERDICT round-3 item 1); inactive slots' rows at `pos` are
+            # outside every live window, so no history merge is needed
             new_beam = stepper(
-                ds, beam, t_vec, beam_size=k, eos_id=EOS, pad_id=PAD,
-                active=active,
+                ds, beam, pos, beam_size=k, eos_id=EOS, pad_id=PAD
             )
             # inactive slots keep their previous (small) state untouched
             row = active[:, None]
@@ -224,18 +233,23 @@ class TranslationEngine:
             )
             return (enc_keys, enc_out, enc_mask, merged), done
 
-        def step_chunk(grid, t_vec, active, n_inner):
+        t_hist = self._t_hist
+
+        def step_chunk(grid, t_vec, active, n_inner, g0):
             # n_inner is a RUNTIME value (while_loop): one compiled program
             # serves every chunk length, so the host can adapt chunk size to
             # queue pressure (shorter chunks while work is waiting → less
             # slot-time stranded between a mid-chunk completion and the next
-            # admission) without recompiling.
+            # admission) without recompiling. ``g0`` is the global inner-
+            # step counter at chunk start (mod t_hist) — the shared ring
+            # write position advances with it.
             def cond(c):
                 return c[0] < n_inner
 
             def body(c):
                 i, grid, t_vec, active, done_acc, emitted = c
-                grid, done = one_step(grid, t_vec, active)
+                pos = jax.lax.rem(g0 + i, jnp.int32(t_hist))
+                grid, done = one_step(grid, pos, t_vec, active)
                 emitted = emitted + jnp.sum(active.astype(jnp.int32))
                 t_vec = t_vec + active.astype(t_vec.dtype)
                 done_acc = done_acc | done
@@ -282,18 +296,13 @@ class TranslationEngine:
             init_scores = jnp.tile(
                 jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (a, 1)
             )
-            # histories reset to PAD symbols + identity backpointers: the
-            # positions a slot never reaches stay identity/PAD, so the
-            # finalization backtrace walks through them untouched
-            ident = jnp.broadcast_to(
-                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (a, k, t_max)
-            )
+            # ring histories need NO reset on admission: a slot's valid
+            # window starts at its admission ring position, so stale epochs
+            # in other columns are unreachable by extraction
             beam = BeamState(
                 decoder_state=new_dec,
-                sym=beam.sym.at[slots].set(
-                    jnp.full((a, k, t_max), PAD, jnp.int32), mode="drop"
-                ),
-                parent=beam.parent.at[slots].set(ident, mode="drop"),
+                sym=beam.sym,
+                parent=beam.parent,
                 last_token=beam.last_token.at[slots].set(
                     jnp.full((a, k), BOS, jnp.int32), mode="drop"
                 ),
@@ -309,17 +318,21 @@ class TranslationEngine:
 
         self._insert_many = jax.jit(insert_many, donate_argnums=(0,))
 
-        def extract(grid, slots):
+        def extract(grid, slots, g0s, t_lens):
             """Reconstruct + rank hypotheses for up to ``admit_batch`` DONE
             slots in one dispatch, device-side (the reference's
-            ``Beam.get_hyp``, batched): only [E, n_best, T_max] tokens ever
-            reach the host — the previous design pulled the entire
-            [S, K, T_max] token grid on any completion. ``slots`` entries
+            ``Beam.get_hyp``, batched): unroll each slot's ring window to
+            step order, backtrace, rank — only [E, n_best, T_max] tokens
+            ever reach the host (the pre-round-4 design pulled the entire
+            [S, K, T_max] token grid on any completion). ``slots`` entries
             equal to ``max_slots`` are padding (clamped; caller ignores
             their rows)."""
             beam = grid[3]
             sl = jnp.clip(slots, 0, s - 1)
-            toks = reconstruct_tokens(beam.sym[sl], beam.parent[sl])
+            sym_a, par_a = unroll_ring(
+                beam.sym[sl], beam.parent[sl], g0s, t_lens, pad_id=PAD
+            )
+            toks = reconstruct_tokens(sym_a, par_a)[:, :, :t_max]
             lp = length_penalty(beam.lengths[sl], cfg.beam.length_penalty)
             norm = beam.scores[sl] / lp
             top_scores, order = jax.lax.top_k(norm, cfg.beam.n_best)
@@ -370,9 +383,11 @@ class TranslationEngine:
         )
         beam = BeamState(
             decoder_state=zeros_state,
-            sym=jnp.full((s, k, t_max), PAD, jnp.int32),
+            # ring depth = max_tgt_len + chunk headroom (see __init__)
+            sym=jnp.full((s, k, self._t_hist), PAD, jnp.int32),
             parent=jnp.broadcast_to(
-                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (s, k, t_max)
+                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None],
+                (s, k, self._t_hist),
             ),
             last_token=jnp.full((s, k), BOS, jnp.int32),
             scores=jnp.full((s, k), NEG_INF, jnp.float32),
@@ -431,10 +446,14 @@ class TranslationEngine:
                 self._grid, jnp.asarray(slots), keys, enc_out, enc_mask, st
             )
             t = self._slot_t.copy()  # copy-on-write, see step()
+            g0 = self._slot_g0.copy()
             for slot, rid in admitted:
                 self._slot_req[slot] = rid
                 t[slot] = 0
+                # the slot's ring window starts at the next inner step
+                g0[slot] = self.steps_run % self._t_hist
             self._slot_t = t
+            self._slot_g0 = g0
 
     def step(self, chunk_steps: Optional[int] = None) -> List[Completion]:
         """Admit pending work, run one decode chunk, pop completed slots.
@@ -460,6 +479,12 @@ class TranslationEngine:
         if chunk_steps is None:
             busy = self.cfg.chunk_steps_busy or self.cfg.chunk_steps
             chunk_steps = busy if self._queue else self.cfg.chunk_steps
+        if chunk_steps > self._chunk_cap:
+            raise ValueError(
+                f"chunk_steps {chunk_steps} exceeds the ring-history "
+                f"headroom {self._chunk_cap} (a finished slot's window "
+                "would be overwritten before extraction)"
+            )
         # CRITICAL: never mutate self._slot_t in place. The host->device
         # transfer of a dispatched step's arguments can be deferred under
         # async load, so an in-place mutation here is observed by the
@@ -468,7 +493,7 @@ class TranslationEngine:
         # self._slot_t to a fresh array (copy-on-write).
         self._grid, t_new, done, emitted = self._step(
             self._grid, jnp.asarray(self._slot_t), jnp.array(active),
-            jnp.int32(chunk_steps),
+            jnp.int32(chunk_steps), jnp.int32(self.steps_run % self._t_hist),
         )
         self.steps_run += chunk_steps
         self.tokens_emitted += int(emitted)
@@ -487,7 +512,10 @@ class TranslationEngine:
                 slots_arg = np.full(e, self.cfg.max_slots, np.int32)
                 slots_arg[: len(chunk)] = chunk
                 toks_n, scores_n = self._extract(
-                    self._grid, jnp.asarray(slots_arg)
+                    self._grid,
+                    jnp.asarray(slots_arg),
+                    jnp.asarray(self._slot_g0[np.clip(slots_arg, 0, self.cfg.max_slots - 1)]),
+                    jnp.asarray(self._slot_t[np.clip(slots_arg, 0, self.cfg.max_slots - 1)]),
                 )
                 toks_np = np.asarray(toks_n)
                 scores_np = np.asarray(scores_n)
@@ -537,13 +565,24 @@ class TranslationEngine:
             if force_active
             else jnp.asarray([r is not None for r in self._slot_req])
         )
+        n = chunk_steps or self.cfg.chunk_steps
+        if n > self._chunk_cap:
+            raise ValueError(
+                f"chunk_steps {n} exceeds the ring-history headroom "
+                f"{self._chunk_cap}"
+            )
         grid, t_vec = self._grid, jnp.asarray(self._slot_t)
-        n_inner = jnp.int32(chunk_steps or self.cfg.chunk_steps)
+        n_inner = jnp.int32(n)
         em = jnp.int32(0)
+        g = self.steps_run
         for _ in range(n_chunks):
             # grid is donated per dispatch; rebind so the engine stays valid
-            grid, t_vec, _, em = self._step(grid, t_vec, active, n_inner)
+            grid, t_vec, _, em = self._step(
+                grid, t_vec, active, n_inner, jnp.int32(g % self._t_hist)
+            )
+            g += n
         self._grid = grid
+        self.steps_run = g  # ring position stays consistent for step()
         if force_active:
             self._poisoned = True
         else:

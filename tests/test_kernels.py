@@ -390,6 +390,85 @@ class TestFusedTopK:
             np.testing.assert_allclose(np.asarray(g), np.asarray(wv), atol=1e-5)
 
 
+class TestFakeQuantKernel:
+    """Single-pass fused fake-quant (kernels/fake_quant.py) must compute the
+    same quantization as the jnp bucketing pipeline it replaces inside the
+    STE train step — same levels, dequant values to 1 ulp (fma ordering may
+    differ between the pallas and XLA lowerings)."""
+
+    @pytest.mark.parametrize("bits", [2, 4, 8])
+    @pytest.mark.parametrize("scaling", ["linear", "absmax"])
+    def test_matches_jnp_path(self, rng, bits, scaling):
+        from quantized_distillation_tpu.kernels.fake_quant import (
+            fake_quant_buckets_pallas,
+        )
+        from quantized_distillation_tpu.ops import uniform
+        from quantized_distillation_tpu.ops.bucketing import to_buckets
+
+        x = jnp.asarray(rng.standard_normal((37, 129)).astype(np.float32))
+        want = uniform.fake_quant(
+            x, bits, scaling=scaling, use_pallas=False
+        )
+        buckets, n = to_buckets(x, 256)
+        got_b = fake_quant_buckets_pallas(
+            buckets, bits, scaling=scaling, row_tile=8, interpret=True
+        )
+        got = got_b.reshape(-1)[:n].reshape(x.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-6
+        )
+        # the grid LEVELS must agree exactly: value diffs are dequant fma
+        # ordering only, never a different quantization decision
+        def levels(v):
+            q = uniform.quantize(v, bits, scaling=scaling)
+            return np.asarray(q.levels)
+
+        np.testing.assert_array_equal(levels(got), levels(want))
+
+    def test_degenerate_constant_bucket(self, rng):
+        from quantized_distillation_tpu.kernels.fake_quant import (
+            fake_quant_buckets_pallas,
+        )
+
+        buckets = jnp.concatenate(
+            [
+                jnp.full((2, 256), 3.25, jnp.float32),  # constant bucket
+                jnp.zeros((2, 256), jnp.float32),  # all-zero bucket
+            ]
+        )
+        out = fake_quant_buckets_pallas(buckets, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(buckets))
+
+    def test_auto_dispatch_respects_flags(self, rng):
+        # on CPU the auto path must stay jnp (no pallas compile), and the
+        # explicit use_pallas=False path must keep working under stochastic
+        from quantized_distillation_tpu.ops import uniform
+
+        x = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        a = uniform.fake_quant(x, 4)
+        b = uniform.fake_quant(x, 4, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ste_grad_flows_through_pallas_path(self, rng):
+        """jax.grad of a loss over ste_fake_quant with the pallas kernel on
+        the value path must produce the straight-through (identity-masked)
+        gradient — the kernel input is detached so linearization never needs
+        a pallas JVP rule (the round-4 TPU train-bench failure mode)."""
+        from quantized_distillation_tpu.ops import uniform
+
+        x = jnp.asarray(rng.standard_normal((600,)).astype(np.float32))
+
+        def loss(v, use_pallas):
+            q = uniform.ste_fake_quant(v, 4, use_pallas=use_pallas)
+            return jnp.sum(jnp.sin(q))
+
+        g_pallas = jax.grad(lambda v: loss(v, True))(x)
+        g_jnp = jax.grad(lambda v: loss(v, False))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_pallas), np.asarray(g_jnp), rtol=0, atol=1e-5
+        )
+
+
 class TestCrossKernelNumerics:
     def test_fused_vs_plain_topk_values_within_bf16_noise(self, rng):
         """Round-3 finding, codified: the fused kernel folds the bucket
