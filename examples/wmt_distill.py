@@ -72,6 +72,9 @@ def main():
     p.add_argument("--kd-temperature", type=float, default=2.0)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-decode-len", type=int, default=32)
+    # GNMT GlobalScorer penalties (reference onmt/Beam.py), default off
+    p.add_argument("--length-penalty", type=float, default=0.0)
+    p.add_argument("--coverage-penalty", type=float, default=0.0)
     # real data (reference: WMT13 de-en preprocessed files)
     p.add_argument("--src-train"), p.add_argument("--tgt-train")
     p.add_argument("--src-test"), p.add_argument("--tgt-test")
@@ -142,7 +145,11 @@ def main():
                src_vocab=len(train_c.src_vocab), tgt_vocab=len(train_c.tgt_vocab))
 
     sv_n, tv_n = len(train_c.src_vocab), len(train_c.tgt_vocab)
-    beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_decode_len)
+    beam_cfg = BeamConfig(
+        beam_size=args.beam, max_len=args.max_decode_len,
+        length_penalty=args.length_penalty,
+        coverage_penalty=args.coverage_penalty,
+    )
 
     def train_stream(epoch):
         return nmt_batches(train_c, args.batch_size, seed=args.seed + epoch,
