@@ -17,6 +17,7 @@ from .beam import (
     step_beams,
     step_beams_cand,
     tokens_to_sentences,
+    unroll_ring,
 )
 from .engine import Completion, TranslationEngine
 from .infer import PackedDecoder, beam_search_packed, pack_decoder
@@ -39,6 +40,7 @@ __all__ = [
     "step_beams",
     "step_beams_cand",
     "tokens_to_sentences",
+    "unroll_ring",
     "Completion",
     "TranslationEngine",
     "PackedDecoder",

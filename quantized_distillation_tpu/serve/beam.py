@@ -56,15 +56,16 @@ class BeamState(NamedTuple):
     """Carry of the beam scan. Leading dims: [B, K] (state: [B*K, ...]).
 
     ``sym``/``parent`` are the backpointer history (reference
-    ``onmt/Beam.py``: ``nextYs``/``prevKs``): ``sym[b, k, t]`` is the token
-    beam slot ``k`` emitted at step ``t`` and ``parent[b, k, t]`` the slot
-    it extended. Slot histories are NOT kept in beam order — reconstruct
-    with :func:`reconstruct_tokens`.
+    ``onmt/Beam.py``: ``nextYs``/``prevKs``): ``sym[t, b, k]`` is the token
+    beam slot ``k`` emitted at step ``t`` and ``parent[t, b, k]`` the slot
+    it extended. The history is stored TIME-MAJOR so each step's write is
+    one contiguous [B, K] row (``sym.at[t]``); slot histories are NOT kept
+    in beam order — reconstruct with :func:`reconstruct_tokens`.
     """
 
     decoder_state: PyTree  # [B*K, ...] pytree
-    sym: jnp.ndarray  # [B, K, T_max] emitted symbol per step (PAD-filled)
-    parent: jnp.ndarray  # [B, K, T_max] int8 backpointers (identity-filled)
+    sym: jnp.ndarray  # [T_max, B, K] emitted symbol per step (PAD-filled)
+    parent: jnp.ndarray  # [T_max, B, K] int8 backpointers (identity-filled)
     last_token: jnp.ndarray  # [B, K]
     scores: jnp.ndarray  # [B, K] cumulative log-prob
     finished: jnp.ndarray  # [B, K] bool
@@ -88,9 +89,9 @@ def init_beam_state(
     k = beam_size
     return BeamState(
         decoder_state=decoder_state,
-        sym=jnp.full((batch, k, t_max), pad_id, jnp.int32),
+        sym=jnp.full((t_max, batch, k), pad_id, jnp.int32),
         parent=jnp.broadcast_to(
-            jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None], (batch, k, t_max)
+            jnp.arange(k, dtype=PARENT_DTYPE)[None, None, :], (t_max, batch, k)
         ),
         last_token=jnp.full((batch, k), bos_id, jnp.int32),
         # only beam 0 is alive at t=0 (all beams start identical)
@@ -108,18 +109,18 @@ def init_beam_state(
 
 
 def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
-    """Follow backpointers to materialize token histories → [B, K, T].
+    """Follow backpointers to materialize token histories.
 
-    Row ``k`` of the result is the full hypothesis of the beam currently in
+    Inputs are TIME-MAJOR ``[T, B, K]`` (the storage layout); the result is
+    ``[B, K, T]``. Row ``k`` is the full hypothesis of the beam currently in
     slot ``k`` (the reference's ``Beam.get_hyp``, vectorized): a reverse
     ``lax.scan`` walks ``t = T-1 .. 0`` carrying the slot index each beam
     occupied at that step. Unwritten positions (slots admitted mid-grid, or
     steps beyond a finished slot's depth) hold identity parents and PAD
     symbols, so they reconstruct to PAD — no masking needed.
     """
-    b, k, t_max = sym.shape
-    sym_t = jnp.moveaxis(sym, 2, 0)  # [T, B, K]
-    par_t = jnp.moveaxis(parent.astype(jnp.int32), 2, 0)
+    t_max, b, k = sym.shape
+    par_t = parent.astype(jnp.int32)
 
     def step(cur, xs):
         s_t, p_t = xs  # [B, K]
@@ -127,13 +128,13 @@ def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
         return jnp.take_along_axis(p_t, cur, axis=1), tok
 
     init = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
-    _, toks = jax.lax.scan(step, init, (sym_t, par_t), reverse=True)
+    _, toks = jax.lax.scan(step, init, (sym, par_t), reverse=True)
     return jnp.moveaxis(toks, 0, 2)  # [B, K, T]
 
 
 def unroll_ring(
-    sym: jnp.ndarray,  # [E, K, T_ring] ring-buffer histories
-    parent: jnp.ndarray,  # [E, K, T_ring]
+    sym: jnp.ndarray,  # [T_ring, E, K] ring-buffer histories (time-major)
+    parent: jnp.ndarray,  # [T_ring, E, K]
     start_pos: jnp.ndarray,  # [E] each slot's admission ring position
     t_len: jnp.ndarray,  # [E] each slot's decode depth
     *,
@@ -143,24 +144,24 @@ def unroll_ring(
 
     The continuous-batching engine writes every slot's history at ONE shared
     scalar ring position per global inner step — a plain dynamic-update-
-    slice, O(B*K) per step like the offline path, with no per-slot scatter.
-    A slot admitted at global step ``g0`` therefore owns the contiguous ring
-    window ``[g0, g0 + t_len) mod T_ring``. This gathers that window into
-    step order and masks everything outside it to PAD symbols / identity
-    parents (other slots' epochs share the same columns), after which the
-    standard backtrace applies. The ring must be deeper than
-    ``max_tgt_len + (steps a finished slot can sit unextracted)`` — the
-    engine allocates that headroom.
+    slice of one contiguous [B, K] row, exactly like the offline path, with
+    no per-slot scatter. A slot admitted at global step ``g0`` therefore
+    owns the contiguous ring window ``[g0, g0 + t_len) mod T_ring``. This
+    gathers that window into step order and masks everything outside it to
+    PAD symbols / identity parents (other slots' epochs share the same
+    rows), after which the standard backtrace applies. The ring must be
+    deeper than ``max_tgt_len + (steps a finished slot can sit
+    unextracted)`` — the engine allocates that headroom.
     """
-    e, k, tp = sym.shape
-    tpr = jnp.arange(tp)[None, :]  # [1, T_ring]
-    src = (start_pos[:, None] + tpr) % tp  # [E, T_ring]
-    valid = tpr < t_len[:, None]  # [E, T_ring]
-    sym_a = jnp.take_along_axis(sym, src[:, None, :], axis=2)
-    par_a = jnp.take_along_axis(parent.astype(jnp.int32), src[:, None, :], axis=2)
-    ident = jnp.arange(k, dtype=jnp.int32)[None, :, None]
-    sym_a = jnp.where(valid[:, None, :], sym_a, pad_id)
-    par_a = jnp.where(valid[:, None, :], par_a, ident)
+    tp, e, k = sym.shape
+    tpr = jnp.arange(tp)[:, None]  # [T_ring, 1]
+    src = (start_pos[None, :] + tpr) % tp  # [T_ring, E]
+    valid = tpr < t_len[None, :]  # [T_ring, E]
+    sym_a = jnp.take_along_axis(sym, src[:, :, None], axis=0)
+    par_a = jnp.take_along_axis(parent.astype(jnp.int32), src[:, :, None], axis=0)
+    ident = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    sym_a = jnp.where(valid[:, :, None], sym_a, pad_id)
+    par_a = jnp.where(valid[:, :, None], par_a, ident)
     return sym_a, par_a.astype(PARENT_DTYPE)
 
 
@@ -239,8 +240,9 @@ def _advance(
             "history position t must be a scalar (engine slots share one "
             "ring position; per-slot windows are unrolled at extraction)"
         )
-    sym = state.sym.at[:, :, t].set(emit)
-    par = state.parent.at[:, :, t].set(parent.astype(PARENT_DTYPE))
+    # time-major: one contiguous [B, K] row per step
+    sym = state.sym.at[t].set(emit)
+    par = state.parent.at[t].set(parent.astype(PARENT_DTYPE))
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(

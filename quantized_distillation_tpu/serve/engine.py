@@ -210,17 +210,16 @@ class TranslationEngine:
             new_beam = stepper(
                 ds, beam, pos, beam_size=k, eos_id=EOS, pad_id=PAD
             )
-            # inactive slots keep their previous (small) state untouched
+            # Inactive slots keep their previous SMALL state untouched: the
+            # post-done stepper would permute a finished slot's beams (its
+            # equal-score EOS continuations re-sort), desyncing scores from
+            # the history the extraction backtrace pairs them with. The
+            # decoder-state pytree is NOT merged — an inactive slot's state
+            # is garbage until admission resets it, and the [S*K, H] merge
+            # was measurable per-step HBM traffic.
             row = active[:, None]
-            rowk = jnp.repeat(active, k)
-
-            def keep(new, old):
-                mask = rowk if new.shape[0] == s * k else active
-                extra = (1,) * (new.ndim - 1)
-                return jnp.where(mask.reshape((-1,) + extra), new, old)
-
             merged = BeamState(
-                decoder_state=jax.tree.map(keep, new_beam.decoder_state, beam.decoder_state),
+                decoder_state=new_beam.decoder_state,
                 sym=new_beam.sym,
                 parent=new_beam.parent,
                 last_token=jnp.where(row, new_beam.last_token, beam.last_token),
@@ -330,7 +329,7 @@ class TranslationEngine:
             beam = grid[3]
             sl = jnp.clip(slots, 0, s - 1)
             sym_a, par_a = unroll_ring(
-                beam.sym[sl], beam.parent[sl], g0s, t_lens, pad_id=PAD
+                beam.sym[:, sl], beam.parent[:, sl], g0s, t_lens, pad_id=PAD
             )
             toks = reconstruct_tokens(sym_a, par_a)[:, :, :t_max]
             lp = length_penalty(beam.lengths[sl], cfg.beam.length_penalty)
@@ -348,7 +347,12 @@ class TranslationEngine:
             from ..parallel.mesh import DATA_AXIS
 
             def put(x):
-                spec = P(DATA_AXIS) if x.shape and x.shape[0] in (s * k, s) else P()
+                if x.shape and x.shape[0] in (s * k, s):
+                    spec = P(DATA_AXIS)
+                elif x.ndim == 3 and x.shape[1] == s:  # time-major histories
+                    spec = P(None, DATA_AXIS)
+                else:
+                    spec = P()
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             enc_keys, enc_out, enc_mask, beam = self._grid
@@ -383,11 +387,12 @@ class TranslationEngine:
         )
         beam = BeamState(
             decoder_state=zeros_state,
-            # ring depth = max_tgt_len + chunk headroom (see __init__)
-            sym=jnp.full((s, k, self._t_hist), PAD, jnp.int32),
+            # ring depth = max_tgt_len + chunk headroom (see __init__);
+            # time-major so the per-step write is one contiguous [S, K] row
+            sym=jnp.full((self._t_hist, s, k), PAD, jnp.int32),
             parent=jnp.broadcast_to(
-                jnp.arange(k, dtype=PARENT_DTYPE)[None, :, None],
-                (s, k, self._t_hist),
+                jnp.arange(k, dtype=PARENT_DTYPE)[None, None, :],
+                (self._t_hist, s, k),
             ),
             last_token=jnp.full((s, k), BOS, jnp.int32),
             scores=jnp.full((s, k), NEG_INF, jnp.float32),

@@ -96,32 +96,68 @@ class TestBeamSearch:
 class TestBackpointers:
     def test_reconstruct_matches_python_walk(self):
         """Backpointer reconstruction (reference onmt/Beam.py get_hyp) vs an
-        independent per-hypothesis python walk, on random histories."""
+        independent per-hypothesis python walk, on random histories
+        (storage is time-major [T, B, K]; output [B, K, T])."""
         from quantized_distillation_tpu.serve import reconstruct_tokens
 
         rng = np.random.default_rng(3)
         b, k, t = 4, 5, 13
-        sym = rng.integers(0, 50, (b, k, t)).astype(np.int32)
-        par = rng.integers(0, k, (b, k, t)).astype(np.int8)
+        sym = rng.integers(0, 50, (t, b, k)).astype(np.int32)
+        par = rng.integers(0, k, (t, b, k)).astype(np.int8)
         out = np.asarray(reconstruct_tokens(jnp.asarray(sym), jnp.asarray(par)))
         for bi in range(b):
             for ki in range(k):
                 cur = ki
                 for ti in range(t - 1, -1, -1):
-                    assert out[bi, ki, ti] == sym[bi, cur, ti]
-                    cur = par[bi, cur, ti]
+                    assert out[bi, ki, ti] == sym[ti, bi, cur]
+                    cur = par[ti, bi, cur]
 
     def test_identity_parents_reconstruct_in_place(self):
         from quantized_distillation_tpu.serve import reconstruct_tokens
 
         rng = np.random.default_rng(4)
-        sym = jnp.asarray(rng.integers(0, 9, (2, 3, 6)), jnp.int32)
+        sym = jnp.asarray(rng.integers(0, 9, (6, 2, 3)), jnp.int32)
         par = jnp.broadcast_to(
-            jnp.arange(3, dtype=jnp.int8)[None, :, None], (2, 3, 6)
+            jnp.arange(3, dtype=jnp.int8)[None, None, :], (6, 2, 3)
         )
         np.testing.assert_array_equal(
-            np.asarray(reconstruct_tokens(sym, par)), np.asarray(sym)
+            np.asarray(reconstruct_tokens(sym, par)),
+            np.moveaxis(np.asarray(sym), 0, 2),
         )
+
+    def test_ring_window_unroll(self):
+        """unroll_ring must align each slot's wrapped window to step order
+        and mask other epochs' rows to PAD/identity."""
+        from quantized_distillation_tpu.serve import (
+            reconstruct_tokens, unroll_ring,
+        )
+
+        rng = np.random.default_rng(5)
+        tp, e, k = 10, 2, 3
+        sym = rng.integers(5, 50, (tp, e, k)).astype(np.int32)
+        par = rng.integers(0, k, (tp, e, k)).astype(np.int8)
+        start = np.asarray([7, 2], np.int32)  # slot 0 wraps (7,8,9,0,1)
+        tlen = np.asarray([5, 4], np.int32)
+        sym_a, par_a = unroll_ring(
+            jnp.asarray(sym), jnp.asarray(par), jnp.asarray(start),
+            jnp.asarray(tlen),
+        )
+        sym_a, par_a = np.asarray(sym_a), np.asarray(par_a)
+        for ei in range(e):
+            for tt in range(tp):
+                if tt < tlen[ei]:
+                    src = (start[ei] + tt) % tp
+                    assert (sym_a[tt, ei] == sym[src, ei]).all()
+                    assert (par_a[tt, ei] == par[src, ei]).all()
+                else:
+                    assert (sym_a[tt, ei] == 0).all()  # PAD
+                    assert (par_a[tt, ei] == np.arange(k)).all()  # identity
+        # and the aligned history backtraces without touching masked rows
+        out = np.asarray(
+            reconstruct_tokens(jnp.asarray(sym_a), jnp.asarray(par_a))
+        )
+        assert out.shape == (e, k, tp)
+        assert (out[0, :, tlen[0]:] == 0).all()
 
 
 class TestCoveragePenalty:
