@@ -129,6 +129,7 @@ def pack_linear(
     bias: Optional[jnp.ndarray] = None,
     lut_mode: str = "exact",
     max_group: Optional[int] = None,
+    store_bits: Optional[int] = None,
 ) -> PackedLinear:
     """Quantize + pack a [K, N] weight matrix for serving.
 
@@ -144,9 +145,26 @@ def pack_linear(
       range of extra error (far below 2/4-bit point spacing), costs 2-4x the
       HBM bytes of the index form, and runs at full uniform-kernel speed.
       The Huffman size accounting still uses the true index stream.
+
+    ``store_bits=8`` (uniform only): keep the ``bits``-level quantization
+    DECISIONS but store one level per byte — dequant values are bit-exact
+    vs the sub-byte container (the 1/(2^bits-1) fold rides ``scale``), HBM
+    weight bytes double (still 4x under f32 at 4-bit), and the kernel's
+    per-bucket unpack collapses from f shift-mask-concat passes to a plain
+    byte read. A serving-layout speed/VPU knob; checkpoint compression
+    accounting is unaffected (it uses the true index stream).
     """
     if w.ndim != 2:
         raise ValueError(f"pack_linear expects a matrix, got shape {w.shape}")
+    sb = bits if store_bits is None else store_bits
+    if sb != bits:
+        if points is not None:
+            raise ValueError(
+                "store_bits applies to the uniform grid; codebooks use "
+                "lut_mode='requant8'"
+            )
+        if sb != 8:
+            raise ValueError(f"store_bits must be 8 (one level/byte), got {sb}")
     k, n = w.shape
     if points is not None and lut_mode == "requant8":
         wp = _pad_cols(w, 8, max_group)
@@ -168,7 +186,7 @@ def pack_linear(
             points=None,
             bias=None if bias is None else jnp.asarray(bias, jnp.float32),
         )
-    wp = _pad_cols(w, bits, max_group)
+    wp = _pad_cols(w, sb, max_group)
     buckets = wp.reshape(k * wp.shape[1] // BUCKET, BUCKET)
     sp = compute_scale(buckets, scaling)
     x01 = (buckets - sp.offset) / sp.scale
@@ -176,16 +194,19 @@ def pack_linear(
         levels = nearest_point_idx(x01, jax.lax.stop_gradient(points))
         scale_eff = sp.scale
     else:
+        # quantization decisions at `bits`; container width at `sb` — the
+        # grid fold always divides by the QUANT grid size, so a byte-stored
+        # 4-bit matrix dequantizes bit-identically to the packed one
         levels = quantize_levels_01(x01, bits)
         scale_eff = sp.scale / ((1 << bits) - 1)
     nb = wp.shape[1] // BUCKET
     return PackedLinear(
-        packed=_plane_pack(levels.reshape(k, wp.shape[1]), bits),
+        packed=_plane_pack(levels.reshape(k, wp.shape[1]), sb),
         scale=scale_eff.reshape(k, nb).T,
         offset=sp.offset.reshape(k, nb).T,
-        bits=bits,
+        bits=sb,
         shape=(k, n),
-        group=bucket_group(bits, n, max_group),
+        group=bucket_group(sb, n, max_group),
         points=None if points is None else jnp.asarray(points, jnp.float32),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
     )

@@ -65,10 +65,12 @@ class PackedDecoder(struct.PyTreeNode):
     # 2 = fastest (collisions certifiable, see kernels.topk_fused),
     # >= beam_size = mathematically exact for any logits
     topk_slots: int = struct.field(pytree_node=False, default=2)
-    # latency knobs of the fused kernel (see dequant_matmul_topk docstring):
-    # interleaved independent select streams + fixed-shift lse
+    # latency knobs of the fused kernel (see dequant_matmul_topk docstring).
+    # Measured at the serving shape (M=640, V=32k, int4, same-day A/B):
+    # lse_shift 107.5us vs 110.7us baseline -> serving default ON;
+    # streams=2 measured 173us (extra live select state spills) -> off.
     topk_streams: int = struct.field(pytree_node=False, default=1)
-    topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
+    topk_lse_shift: bool = struct.field(pytree_node=False, default=True)
 
 
 def _fuse_cell(cell_params: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -93,7 +95,7 @@ def pack_decoder(
     generator_group: int = 16,
     topk_slots: int = 2,
     topk_streams: int = 1,
-    topk_lse_shift: bool = False,
+    topk_lse_shift: bool = True,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 

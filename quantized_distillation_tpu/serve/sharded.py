@@ -65,9 +65,12 @@ def pack_generator_sharded(
     *,
     scaling: str = "linear",
     max_group: int = 16,
+    store_bits=None,
 ) -> PackedLinear:
     """Pack the [H, V] generator padded so V splits evenly into ``mp`` shards
     whose widths are whole kernel grid groups; padded columns get −1e9 bias.
+    ``store_bits=8`` keeps ``bits``-level quantization but stores one level
+    per byte (see :func:`..kernels.packed.pack_linear`).
     """
     k, v = kernel.shape
     align = mp * max_group * BUCKET
@@ -76,7 +79,10 @@ def pack_generator_sharded(
     bp = jnp.pad(
         bias.astype(jnp.float32), (0, vpad - v), constant_values=NEG_BIAS
     )
-    return pack_linear(wp, bits, scaling=scaling, bias=bp, max_group=max_group)
+    return pack_linear(
+        wp, bits, scaling=scaling, bias=bp, max_group=max_group,
+        store_bits=store_bits,
+    )
 
 
 def shard_decoder(dec: PackedDecoder, mesh: Mesh, gen_kernel, gen_bias) -> PackedDecoder:

@@ -36,6 +36,8 @@ def main():
                     help="independent interleaved select streams (1/2/4)")
     ap.add_argument("--lse-shift", action="store_true",
                     help="fixed-shift lse instead of streaming-max rescale")
+    ap.add_argument("--store8", action="store_true",
+                    help="store quant levels one-per-byte (unpack-free)")
     ap.add_argument(
         "--group", type=int, default=0,
         help="buckets/grid-step; 0 = auto from the kernel's VMEM budget",
@@ -182,7 +184,7 @@ def main():
     else:
         p = pack_generator_sharded(
             w, jnp.zeros((args.n,), jnp.float32), args.bits, mp=1,
-            max_group=args.group,
+            max_group=args.group, store_bits=8 if args.store8 else None,
         )
 
         def body(x):
@@ -227,6 +229,7 @@ def main():
         else f"topk{args.topk}/slots{args.slots}"
         + (f"/streams{args.streams}" if args.streams > 1 else "")
         + ("+lseshift" if args.lse_shift else "")
+        + ("+store8" if args.store8 else "")
         + ("+cert" if args.certify else "")
     )
     print(

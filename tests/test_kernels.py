@@ -365,6 +365,38 @@ class TestFusedTopK:
         )
         assert not np.asarray(c2).any()
 
+    def test_store8_bit_exact_and_kernel_parity(self, rng):
+        """store_bits=8: same 4-bit quantization DECISIONS, one level per
+        byte — dense dequant is bit-identical and the fused kernel output
+        matches the sub-byte container's."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+        from quantized_distillation_tpu.kernels.packed import dequantize_linear
+
+        w = jnp.asarray(rng.standard_normal((32, 1024)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((5, 32)).astype(np.float32))
+        p4 = pack_linear(w, 4)
+        p8 = pack_linear(w, 4, store_bits=8)
+        assert p8.bits == 8 and p8.packed.shape[1] == 2 * p4.packed.shape[1]
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_linear(p8)), np.asarray(dequantize_linear(p4))
+        )
+        v, i, lse = dequant_matmul_topk(
+            x, p8, 5, compute_dtype=jnp.float32, interpret=True
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p4, 5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+
+    def test_store8_rejects_codebook(self, rng):
+        w = jnp.asarray(rng.standard_normal((16, 256)).astype(np.float32))
+        pts = jnp.linspace(0.0, 1.0, 16)
+        with pytest.raises(ValueError):
+            pack_linear(w, 4, points=pts, store_bits=8)
+
     def test_rejects_k_too_large(self, rng):
         from quantized_distillation_tpu.kernels import dequant_matmul_topk
 
