@@ -59,6 +59,59 @@ def map_quantizable(
     return jax.tree_util.tree_map_with_path(wrap, params)
 
 
+def _fused_fake_quant_values(
+    params: PyTree,
+    spec: QuantSpec,
+    bits_map: Optional[Dict[str, int]],
+    force: bool = False,
+) -> Optional[Dict[str, jnp.ndarray]]:
+    """Hard fake-quant VALUES for every quantizable leaf via ONE fused
+    Pallas kernel launch per bits-group, or None when ineligible.
+
+    Per-leaf dispatch instantiates one Mosaic kernel per unique leaf shape
+    (a WRN tree has dozens — measured as minutes of extra compile through
+    the remote-compile hook). Bucketing is per leaf (identical quantization
+    decisions), so all leaves' [n_buckets, 256] matrices concatenate into
+    one batch for a single kernel whose shape depends only on the TOTAL
+    bucket count.
+    """
+    if spec.stochastic or spec.bucket_size % 128 != 0:
+        return None
+    if jax.default_backend() != "tpu" and not force:
+        return None
+    from ..kernels.fake_quant import fake_quant_buckets_pallas
+    from ..ops.bucketing import from_buckets, to_buckets
+
+    interpret = jax.default_backend() == "cpu"
+
+    groups: Dict[int, list] = {}
+
+    def collect(path, leaf):
+        bits = bits_map.get(path, spec.bits) if bits_map else spec.bits
+        groups.setdefault(bits, []).append((path, leaf))
+        return leaf
+
+    map_quantizable(collect, params, spec)
+    out: Dict[str, jnp.ndarray] = {}
+    for bits, leaves in groups.items():
+        buckets = []
+        meta = []
+        for path, leaf in leaves:
+            b, n = to_buckets(jax.lax.stop_gradient(leaf), spec.bucket_size)
+            meta.append((path, leaf, n, b.shape[0]))
+            buckets.append(b)
+        qcat = fake_quant_buckets_pallas(
+            jnp.concatenate(buckets, axis=0), bits, scaling=spec.scaling,
+            interpret=interpret,
+        )
+        off = 0
+        for path, leaf, n, nb in meta:
+            qb = qcat[off : off + nb]
+            off += nb
+            out[path] = from_buckets(qb, n, tuple(leaf.shape)).astype(leaf.dtype)
+    return out
+
+
 def ste_quantize_tree(
     params: PyTree,
     spec: QuantSpec,
@@ -70,8 +123,15 @@ def ste_quantize_tree(
     With stochastic rounding each leaf gets an independent key (folded from
     a per-leaf counter) so rounding noise is uncorrelated across tensors.
     ``bits_map`` (path → bits, from :mod:`.bits`) overrides ``spec.bits``
-    per leaf for mixed-precision assignments.
+    per leaf for mixed-precision assignments. On TPU the deterministic path
+    runs ONE fused Pallas fake-quant launch per bits-group over all leaves'
+    buckets (see :func:`_fused_fake_quant_values`).
     """
+    fused = _fused_fake_quant_values(params, spec, bits_map)
+    if fused is not None:
+        return map_quantizable(
+            lambda p, x: x + jax.lax.stop_gradient(fused[p] - x), params, spec
+        )
     counter = [0]
 
     def quant(path, leaf):
@@ -159,6 +219,9 @@ def quantize_tree_hard(
             params,
             spec,
         )
+    fused = _fused_fake_quant_values(params, spec, bits_map)
+    if fused is not None:
+        return map_quantizable(lambda p, _: fused[p], params, spec)
     return map_quantizable(
         lambda p, w: uniform.fake_quant(
             w,

@@ -68,6 +68,32 @@ class TestQuantizeTree:
             assert s.size == sizes[name]
             assert s.min() >= 0 and s.max() <= 15
 
+    @pytest.mark.parametrize("bits_map", [None, "mixed"])
+    def test_fused_tree_matches_per_leaf(self, cnn_setup, bits_map):
+        """The grouped one-kernel-per-bits-group fake-quant (TPU path) must
+        reproduce the per-leaf jnp pipeline to 1 ulp, including mixed
+        per-leaf bit widths."""
+        student, sv, _ = cnn_setup
+        spec = QuantSpec(bits=4)
+        bm = None
+        if bits_map == "mixed":
+            flat = jax.tree_util.tree_flatten_with_path(sv["params"])[0]
+            paths = [
+                qt.path_str(p) for p, l in flat
+                if qt.is_quantizable(qt.path_str(p), l, spec)
+            ]
+            bm = {p: (2 if i % 2 else 4) for i, p in enumerate(paths)}
+        fused = qt._fused_fake_quant_values(sv["params"], spec, bm, force=True)
+        assert fused is not None
+        want = qt.quantize_tree_hard(sv["params"], spec, bits_map=bm)
+        flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
+        for path, leaf in flat_w:
+            p = qt.path_str(path)
+            if p in fused:
+                np.testing.assert_allclose(
+                    np.asarray(fused[p]), np.asarray(leaf), rtol=0, atol=2e-6
+                )
+
 
 class TestTrainStep:
     def test_kd_ste_training_decreases_loss(self, cnn_setup):
