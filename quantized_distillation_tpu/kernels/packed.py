@@ -50,11 +50,18 @@ class PackedLinear(struct.PyTreeNode):
     # forbids dynamic lane indexing). Dequant factor folded in for uniform.
     scale: jnp.ndarray  # f32 [N // 256, K]
     offset: jnp.ndarray  # f32 [N // 256, K]
-    bits: int = struct.field(pytree_node=False)
+    bits: int = struct.field(pytree_node=False)  # CONTAINER bits (unpack width)
     shape: Tuple[int, int] = struct.field(pytree_node=False)  # logical (K, N)
     group: int = struct.field(pytree_node=False, default=1)  # buckets/grid step
     points: Optional[jnp.ndarray] = None  # [2^bits] codebook (None = uniform)
     bias: Optional[jnp.ndarray] = None  # [N] f32
+    # True QUANTIZATION bit width when it differs from the container
+    # (store_bits=8 byte layout); None = same as ``bits``.
+    quant_bits: Optional[int] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def effective_quant_bits(self) -> int:
+        return self.quant_bits if self.quant_bits is not None else self.bits
 
     @property
     def n_padded(self) -> int:
@@ -209,6 +216,7 @@ def pack_linear(
         group=bucket_group(sb, n, max_group),
         points=None if points is None else jnp.asarray(points, jnp.float32),
         bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+        quant_bits=None if sb == bits else bits,
     )
 
 

@@ -56,16 +56,19 @@ class BeamState(NamedTuple):
     """Carry of the beam scan. Leading dims: [B, K] (state: [B*K, ...]).
 
     ``sym``/``parent`` are the backpointer history (reference
-    ``onmt/Beam.py``: ``nextYs``/``prevKs``): ``sym[t, b, k]`` is the token
-    beam slot ``k`` emitted at step ``t`` and ``parent[t, b, k]`` the slot
-    it extended. The history is stored TIME-MAJOR so each step's write is
-    one contiguous [B, K] row (``sym.at[t]``); slot histories are NOT kept
+    ``onmt/Beam.py``: ``nextYs``/``prevKs``): ``sym[t, b*K + k]`` is the
+    token beam slot ``k`` of sentence ``b`` emitted at step ``t`` and
+    ``parent[t, b*K + k]`` the slot it extended. The history is stored
+    TIME-MAJOR with the beam rows FLATTENED to one [B*K] minor dim: each
+    step's write is one contiguous row (``sym.at[t]``), and B*K (640 at the
+    serving shape) lane-aligns exactly — a trailing K=5 minor dim would be
+    lane-padded 128/5 = 25x by the TPU layout. Slot histories are NOT kept
     in beam order — reconstruct with :func:`reconstruct_tokens`.
     """
 
     decoder_state: PyTree  # [B*K, ...] pytree
-    sym: jnp.ndarray  # [T_max, B, K] emitted symbol per step (PAD-filled)
-    parent: jnp.ndarray  # [T_max, B, K] int8 backpointers (identity-filled)
+    sym: jnp.ndarray  # [T_max, B*K] emitted symbol per step (PAD-filled)
+    parent: jnp.ndarray  # [T_max, B*K] int8 backpointers (identity-filled)
     last_token: jnp.ndarray  # [B, K]
     scores: jnp.ndarray  # [B, K] cumulative log-prob
     finished: jnp.ndarray  # [B, K] bool
@@ -89,9 +92,9 @@ def init_beam_state(
     k = beam_size
     return BeamState(
         decoder_state=decoder_state,
-        sym=jnp.full((t_max, batch, k), pad_id, jnp.int32),
-        parent=jnp.broadcast_to(
-            jnp.arange(k, dtype=PARENT_DTYPE)[None, None, :], (t_max, batch, k)
+        sym=jnp.full((t_max, batch * k), pad_id, jnp.int32),
+        parent=jnp.tile(
+            jnp.arange(k, dtype=PARENT_DTYPE), (t_max, batch)
         ),
         last_token=jnp.full((batch, k), bos_id, jnp.int32),
         # only beam 0 is alive at t=0 (all beams start identical)
@@ -108,19 +111,25 @@ def init_beam_state(
     )
 
 
-def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
+def reconstruct_tokens(
+    sym: jnp.ndarray, parent: jnp.ndarray, beam_size: int
+) -> jnp.ndarray:
     """Follow backpointers to materialize token histories.
 
-    Inputs are TIME-MAJOR ``[T, B, K]`` (the storage layout); the result is
-    ``[B, K, T]``. Row ``k`` is the full hypothesis of the beam currently in
-    slot ``k`` (the reference's ``Beam.get_hyp``, vectorized): a reverse
-    ``lax.scan`` walks ``t = T-1 .. 0`` carrying the slot index each beam
-    occupied at that step. Unwritten positions (slots admitted mid-grid, or
-    steps beyond a finished slot's depth) hold identity parents and PAD
-    symbols, so they reconstruct to PAD — no masking needed.
+    Inputs are TIME-MAJOR flat ``[T, B*K]`` (the storage layout); the
+    result is ``[B, K, T]``. Row ``k`` is the full hypothesis of the beam
+    currently in slot ``k`` (the reference's ``Beam.get_hyp``, vectorized):
+    a reverse ``lax.scan`` walks ``t = T-1 .. 0`` carrying the slot index
+    each beam occupied at that step. Unwritten positions (slots admitted
+    mid-grid, or steps beyond a finished slot's depth) hold identity
+    parents and PAD symbols, so they reconstruct to PAD — no masking
+    needed.
     """
-    t_max, b, k = sym.shape
-    par_t = parent.astype(jnp.int32)
+    t_max, rows = sym.shape
+    k = beam_size
+    b = rows // k
+    sym3 = sym.reshape(t_max, b, k)
+    par3 = parent.astype(jnp.int32).reshape(t_max, b, k)
 
     def step(cur, xs):
         s_t, p_t = xs  # [B, K]
@@ -128,16 +137,17 @@ def reconstruct_tokens(sym: jnp.ndarray, parent: jnp.ndarray) -> jnp.ndarray:
         return jnp.take_along_axis(p_t, cur, axis=1), tok
 
     init = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
-    _, toks = jax.lax.scan(step, init, (sym, par_t), reverse=True)
+    _, toks = jax.lax.scan(step, init, (sym3, par3), reverse=True)
     return jnp.moveaxis(toks, 0, 2)  # [B, K, T]
 
 
 def unroll_ring(
-    sym: jnp.ndarray,  # [T_ring, E, K] ring-buffer histories (time-major)
-    parent: jnp.ndarray,  # [T_ring, E, K]
+    sym: jnp.ndarray,  # [T_ring, E*K] ring-buffer histories (time-major flat)
+    parent: jnp.ndarray,  # [T_ring, E*K]
     start_pos: jnp.ndarray,  # [E] each slot's admission ring position
     t_len: jnp.ndarray,  # [E] each slot's decode depth
     *,
+    beam_size: int,
     pad_id: int = PAD,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Align ring-buffer histories to step order for :func:`reconstruct_tokens`.
@@ -153,16 +163,23 @@ def unroll_ring(
     deeper than ``max_tgt_len + (steps a finished slot can sit
     unextracted)`` — the engine allocates that headroom.
     """
-    tp, e, k = sym.shape
+    tp, rows = sym.shape
+    k = beam_size
+    e = rows // k
+    sym3 = sym.reshape(tp, e, k)
+    par3 = parent.astype(jnp.int32).reshape(tp, e, k)
     tpr = jnp.arange(tp)[:, None]  # [T_ring, 1]
     src = (start_pos[None, :] + tpr) % tp  # [T_ring, E]
     valid = tpr < t_len[None, :]  # [T_ring, E]
-    sym_a = jnp.take_along_axis(sym, src[:, :, None], axis=0)
-    par_a = jnp.take_along_axis(parent.astype(jnp.int32), src[:, :, None], axis=0)
+    sym_a = jnp.take_along_axis(sym3, src[:, :, None], axis=0)
+    par_a = jnp.take_along_axis(par3, src[:, :, None], axis=0)
     ident = jnp.arange(k, dtype=jnp.int32)[None, None, :]
     sym_a = jnp.where(valid[:, :, None], sym_a, pad_id)
     par_a = jnp.where(valid[:, :, None], par_a, ident)
-    return sym_a, par_a.astype(PARENT_DTYPE)
+    return (
+        sym_a.reshape(tp, e * k),
+        par_a.astype(PARENT_DTYPE).reshape(tp, e * k),
+    )
 
 
 def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
@@ -240,9 +257,9 @@ def _advance(
             "history position t must be a scalar (engine slots share one "
             "ring position; per-slot windows are unrolled at extraction)"
         )
-    # time-major: one contiguous [B, K] row per step
-    sym = state.sym.at[t].set(emit)
-    par = state.parent.at[t].set(parent.astype(PARENT_DTYPE))
+    # time-major flat: one contiguous lane-aligned [B*K] row per step
+    sym = state.sym.at[t].set(emit.reshape(-1))
+    par = state.parent.at[t].set(parent.astype(PARENT_DTYPE).reshape(-1))
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(
@@ -418,7 +435,7 @@ def beam_decode(
 
     final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
     norm = finalize_scores(final, cfg)
-    tokens = reconstruct_tokens(final.sym, final.parent)
+    tokens = reconstruct_tokens(final.sym, final.parent, k)
     take = jax.vmap(lambda a, i: a[i])
     if cfg.n_best == 1:
         best = jnp.argmax(norm, axis=1)  # [B]

@@ -328,10 +328,14 @@ class TranslationEngine:
             their rows)."""
             beam = grid[3]
             sl = jnp.clip(slots, 0, s - 1)
+            # gather only the requested slots' beam-row columns ([E*K] of
+            # the flat [T, S*K] ring) — never reshape the full buffer
+            cols = (sl[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
             sym_a, par_a = unroll_ring(
-                beam.sym[:, sl], beam.parent[:, sl], g0s, t_lens, pad_id=PAD
+                beam.sym[:, cols], beam.parent[:, cols], g0s, t_lens,
+                beam_size=k, pad_id=PAD,
             )
-            toks = reconstruct_tokens(sym_a, par_a)[:, :, :t_max]
+            toks = reconstruct_tokens(sym_a, par_a, k)[:, :, :t_max]
             lp = length_penalty(beam.lengths[sl], cfg.beam.length_penalty)
             norm = beam.scores[sl] / lp
             top_scores, order = jax.lax.top_k(norm, cfg.beam.n_best)
@@ -349,7 +353,7 @@ class TranslationEngine:
             def put(x):
                 if x.shape and x.shape[0] in (s * k, s):
                     spec = P(DATA_AXIS)
-                elif x.ndim == 3 and x.shape[1] == s:  # time-major histories
+                elif x.ndim == 2 and x.shape[1] == s * k:  # [T, S*K] rings
                     spec = P(None, DATA_AXIS)
                 else:
                     spec = P()
@@ -388,11 +392,11 @@ class TranslationEngine:
         beam = BeamState(
             decoder_state=zeros_state,
             # ring depth = max_tgt_len + chunk headroom (see __init__);
-            # time-major so the per-step write is one contiguous [S, K] row
-            sym=jnp.full((self._t_hist, s, k), PAD, jnp.int32),
-            parent=jnp.broadcast_to(
-                jnp.arange(k, dtype=PARENT_DTYPE)[None, None, :],
-                (self._t_hist, s, k),
+            # time-major FLAT [T, S*K] so the per-step write is one
+            # contiguous lane-aligned row
+            sym=jnp.full((self._t_hist, s * k), PAD, jnp.int32),
+            parent=jnp.tile(
+                jnp.arange(k, dtype=PARENT_DTYPE), (self._t_hist, s)
             ),
             last_token=jnp.full((s, k), BOS, jnp.int32),
             scores=jnp.full((s, k), NEG_INF, jnp.float32),

@@ -90,7 +90,14 @@ def shard_decoder(dec: PackedDecoder, mesh: Mesh, gen_kernel, gen_bias) -> Packe
     every other weight replicated. ``gen_kernel/gen_bias`` are the original
     dense generator params (repacking pads to shard alignment)."""
     mp = mesh.shape[MODEL_AXIS]
-    gen = pack_generator_sharded(gen_kernel, gen_bias, dec.generator.bits, mp)
+    gen = pack_generator_sharded(
+        gen_kernel, gen_bias, dec.generator.effective_quant_bits, mp,
+        store_bits=(
+            dec.generator.bits
+            if dec.generator.quant_bits is not None
+            else None
+        ),
+    )
     gen = PackedLinear(
         packed=jax.device_put(
             gen.packed, NamedSharding(mesh, P(None, MODEL_AXIS))
@@ -161,6 +168,7 @@ def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
             group=gen.group,
             points=gen.points,
             bias=gen.bias,
+            quant_bits=gen.quant_bits,
         )
         vals, idx, lse = dequant_matmul_topk(
             attn_h, gen_local, k,

@@ -97,14 +97,20 @@ class TestBackpointers:
     def test_reconstruct_matches_python_walk(self):
         """Backpointer reconstruction (reference onmt/Beam.py get_hyp) vs an
         independent per-hypothesis python walk, on random histories
-        (storage is time-major [T, B, K]; output [B, K, T])."""
+        (storage is time-major flat [T, B*K]; output [B, K, T])."""
         from quantized_distillation_tpu.serve import reconstruct_tokens
 
         rng = np.random.default_rng(3)
         b, k, t = 4, 5, 13
         sym = rng.integers(0, 50, (t, b, k)).astype(np.int32)
         par = rng.integers(0, k, (t, b, k)).astype(np.int8)
-        out = np.asarray(reconstruct_tokens(jnp.asarray(sym), jnp.asarray(par)))
+        out = np.asarray(
+            reconstruct_tokens(
+                jnp.asarray(sym.reshape(t, b * k)),
+                jnp.asarray(par.reshape(t, b * k)),
+                k,
+            )
+        )
         for bi in range(b):
             for ki in range(k):
                 cur = ki
@@ -116,14 +122,14 @@ class TestBackpointers:
         from quantized_distillation_tpu.serve import reconstruct_tokens
 
         rng = np.random.default_rng(4)
-        sym = jnp.asarray(rng.integers(0, 9, (6, 2, 3)), jnp.int32)
-        par = jnp.broadcast_to(
-            jnp.arange(3, dtype=jnp.int8)[None, None, :], (6, 2, 3)
+        sym = rng.integers(0, 9, (6, 2, 3)).astype(np.int32)
+        par = np.tile(np.arange(3, dtype=np.int8), (6, 2, 1))
+        out = np.asarray(
+            reconstruct_tokens(
+                jnp.asarray(sym.reshape(6, 6)), jnp.asarray(par.reshape(6, 6)), 3
+            )
         )
-        np.testing.assert_array_equal(
-            np.asarray(reconstruct_tokens(sym, par)),
-            np.moveaxis(np.asarray(sym), 0, 2),
-        )
+        np.testing.assert_array_equal(out, np.moveaxis(sym, 0, 2))
 
     def test_ring_window_unroll(self):
         """unroll_ring must align each slot's wrapped window to step order
@@ -139,10 +145,12 @@ class TestBackpointers:
         start = np.asarray([7, 2], np.int32)  # slot 0 wraps (7,8,9,0,1)
         tlen = np.asarray([5, 4], np.int32)
         sym_a, par_a = unroll_ring(
-            jnp.asarray(sym), jnp.asarray(par), jnp.asarray(start),
-            jnp.asarray(tlen),
+            jnp.asarray(sym.reshape(tp, e * k)),
+            jnp.asarray(par.reshape(tp, e * k)),
+            jnp.asarray(start), jnp.asarray(tlen), beam_size=k,
         )
-        sym_a, par_a = np.asarray(sym_a), np.asarray(par_a)
+        sym_a = np.asarray(sym_a).reshape(tp, e, k)
+        par_a = np.asarray(par_a).reshape(tp, e, k)
         for ei in range(e):
             for tt in range(tp):
                 if tt < tlen[ei]:
@@ -154,7 +162,11 @@ class TestBackpointers:
                     assert (par_a[tt, ei] == np.arange(k)).all()  # identity
         # and the aligned history backtraces without touching masked rows
         out = np.asarray(
-            reconstruct_tokens(jnp.asarray(sym_a), jnp.asarray(par_a))
+            reconstruct_tokens(
+                jnp.asarray(sym_a.reshape(tp, e * k)),
+                jnp.asarray(par_a.reshape(tp, e * k)),
+                k,
+            )
         )
         assert out.shape == (e, k, tp)
         assert (out[0, :, tlen[0]:] == 0).all()
