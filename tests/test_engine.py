@@ -154,6 +154,21 @@ class TestEngineEquivalence:
         assert eng.steps_run == 12  # all four decode to max_tgt_len in lockstep
         assert eng.tokens_emitted == 4 * 12
 
+    def test_ring_wraparound_across_many_requests(self, setup):
+        """Serve enough sequential work through one slot that the history
+        ring wraps several times; every completion must still reconstruct
+        exactly (windows of different epochs share ring rows)."""
+        m, v, sents, ref = setup
+        eng = TranslationEngine(m, v, _cfg(1))
+        # ring depth = 12 + 64 = 76; 11 sentences x 12 steps = 132 global
+        # steps -> wraps past the ring at least once
+        assert eng._t_hist == 76
+        rids = [eng.submit(s) for s in sents]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        assert eng.steps_run > eng._t_hist  # the ring actually wrapped
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
     def test_adaptive_chunking_equivalence(self, setup):
         # chunk length varies per chunk at runtime (chunk_steps_busy while
         # the queue is non-empty) — decode results must be unchanged
