@@ -52,6 +52,7 @@ def build(args):
     dec = pack_decoder(
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,
+        generator_store_bits=args.gen_store_bits or None,
     )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
 
@@ -427,6 +428,11 @@ def main():
     p.add_argument(
         "--engine", action="store_true",
         help="bench the continuous-batching engine (throughput + churn)",
+    )
+    p.add_argument(
+        "--gen-store-bits", type=int, default=8,
+        help="generator container bits (8 = byte-stored levels, the serving "
+        "default; 0 = true sub-byte packing) — A/B knob",
     )
     p.add_argument(
         "--t-max", type=int, default=256,

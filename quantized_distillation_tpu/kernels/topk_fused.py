@@ -103,6 +103,7 @@ def _topk_kernel(
     slots,
     streams,
     lse_shift,
+    select_dtype,
     certify,
 ):
     """Inputs per grid step j:
@@ -142,11 +143,11 @@ def _topk_kernel(
 
     @pl.when(j == 0)
     def _init():
-        vs_s[:] = jnp.full((m, streams * slots * LANES), NEG, jnp.float32)
+        vs_s[:] = jnp.full((m, streams * slots * LANES), NEG, select_dtype)
         is_s[:] = jnp.zeros((m, streams * slots * LANES), jnp.int32)
         se_s[:] = jnp.zeros((m, streams * LANES), jnp.float32)
         if certify:
-            disc_s[:] = jnp.full((m, streams * LANES), NEG, jnp.float32)
+            disc_s[:] = jnp.full((m, streams * LANES), NEG, select_dtype)
 
     x = x_ref[:]
     xc = x.astype(compute_dtype)
@@ -236,9 +237,13 @@ def _topk_kernel(
                     ),
                     shift,
                 )
-            upd = v > vs[st][0]
-            winner = jnp.maximum(v, vs[st][0])
-            loser = jnp.minimum(v, vs[st][0])
+            # the select stream may run narrower than f32 (select_dtype):
+            # compares/ripple in bf16 halve vector-register pressure; the
+            # lse always consumes the f32 logits
+            vsel = v if select_dtype == jnp.float32 else v.astype(select_dtype)
+            upd = vsel > vs[st][0]
+            winner = jnp.maximum(vsel, vs[st][0])
+            loser = jnp.minimum(vsel, vs[st][0])
             if lse_shift:
                 # fixed-shift streaming sum: no rescale selects, and the
                 # se chain is a bare add (shorter critical path)
@@ -380,7 +385,7 @@ def pick_generator_group(
     jax.jit,
     static_argnames=(
         "k", "compute_dtype", "interpret", "use_pallas", "slots", "streams",
-        "lse_shift", "certify",
+        "lse_shift", "select_dtype", "certify",
     ),
 )
 def dequant_matmul_topk(
@@ -394,6 +399,7 @@ def dequant_matmul_topk(
     slots: int = 2,
     streams: int = 1,
     lse_shift: bool = False,
+    select_dtype=jnp.float32,
     certify: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
@@ -423,6 +429,12 @@ def dequant_matmul_topk(
       unaffected) — impossible for softmax-trained generators, documented
       for adversarial inputs. Within that bound the result is f32-accurate
       like the streaming path.
+    - ``select_dtype=jnp.bfloat16``: run the top-k compare/ripple stream in
+      bf16 (the lse keeps the f32 logits; requires ``lse_shift``). Returned
+      top-k VALUES are bf16-rounded and index choices can differ from f32
+      on within-ulp ties — the same tie band the cross-kernel contract
+      documents; the certificate stays sound (ties collapse to equality
+      and the strict kth > disc test flags them).
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
@@ -430,6 +442,11 @@ def dequant_matmul_topk(
         raise ValueError(f"slots must be in [1, {KMAX}], got {slots}")
     if streams not in (1, 2, 4):
         raise ValueError(f"streams must be 1, 2 or 4, got {streams}")
+    if select_dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(f"select_dtype must be f32 or bf16, got {select_dtype}")
+    if select_dtype == jnp.bfloat16 and not lse_shift:
+        raise ValueError("select_dtype=bf16 requires lse_shift (the "
+                         "streaming-max lse would inherit bf16 error)")
     if not use_pallas:
         ref = dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
         if certify:
@@ -441,7 +458,8 @@ def dequant_matmul_topk(
     npad = p.n_padded
     n_true = p.shape[1]
     f = 8 // p.bits
-    tm = _sublane(jnp.float32)
+    # bf16 select scratches need the 16-sublane tile; f32 needs 8
+    tm = _sublane(select_dtype)
     mpad = -(-m // tm) * tm
     xp = jnp.pad(x, ((0, mpad - m), (0, 0))) if mpad != m else x
     bias = p.bias if p.bias is not None else jnp.zeros((n_true,), jnp.float32)
@@ -479,6 +497,7 @@ def dequant_matmul_topk(
         slots=slots,
         streams=streams,
         lse_shift=lse_shift,
+        select_dtype=select_dtype,
         certify=certify,
     )
     if p.points is not None:
@@ -503,10 +522,10 @@ def dequant_matmul_topk(
     scratch = [
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # even-bucket logits tile
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # odd-bucket logits tile
-        pltpu.VMEM((mpad, streams * slots * LANES), jnp.float32),  # top-s values
+        pltpu.VMEM((mpad, streams * slots * LANES), select_dtype),  # top-s values
         pltpu.VMEM((mpad, streams * slots * LANES), jnp.int32),  # top-s chunk ids
         pltpu.VMEM((mpad, streams * LANES), jnp.float32),  # sum-exp
-        pltpu.VMEM((mpad, streams * LANES), jnp.float32),  # discard (certificate)
+        pltpu.VMEM((mpad, streams * LANES), select_dtype),  # discard (certificate)
         pltpu.VMEM((mpad, LANES), jnp.float32),  # lse row shift (lane-bcast)
     ]
     flops = 2 * mpad * kk * npad

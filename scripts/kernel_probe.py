@@ -38,6 +38,8 @@ def main():
                     help="fixed-shift lse instead of streaming-max rescale")
     ap.add_argument("--store8", action="store_true",
                     help="store quant levels one-per-byte (unpack-free)")
+    ap.add_argument("--select-bf16", action="store_true",
+                    help="bf16 top-k select stream (requires --lse-shift)")
     ap.add_argument(
         "--group", type=int, default=0,
         help="buckets/grid-step; 0 = auto from the kernel's VMEM budget",
@@ -114,7 +116,10 @@ def main():
                     v, ix, lse = dequant_matmul_topk(
                         attn_h, dec.generator, args.topk,
                         compute_dtype=dec.compute_dtype,
-                        slots=args.slots, interpret=interp,
+                        slots=args.slots,
+                        streams=dec.topk_streams,
+                        lse_shift=dec.topk_lse_shift,
+                        interpret=interp,
                     )
                     tok = ix[:, 0]
                 else:
@@ -191,7 +196,9 @@ def main():
             out = dequant_matmul_topk(
                 x, p, args.topk, compute_dtype=jnp.bfloat16,
                 slots=args.slots, streams=args.streams,
-                lse_shift=args.lse_shift, certify=args.certify,
+                lse_shift=args.lse_shift,
+                select_dtype=jnp.bfloat16 if args.select_bf16 else jnp.float32,
+                certify=args.certify,
                 interpret=interp,
             )
             return x + 1e-12 * (out[0].sum() + out[2].sum())
@@ -230,6 +237,7 @@ def main():
         + (f"/streams{args.streams}" if args.streams > 1 else "")
         + ("+lseshift" if args.lse_shift else "")
         + ("+store8" if args.store8 else "")
+        + ("+selbf16" if args.select_bf16 else "")
         + ("+cert" if args.certify else "")
     )
     print(

@@ -391,6 +391,39 @@ class TestFusedTopK:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
 
+    def test_bf16_select_stream(self, rng):
+        """select_dtype=bf16: indices may differ only on within-bf16-ulp
+        ties; top-k VALUES stay within bf16 noise of the exact reference,
+        the lse stays f32-accurate, and it requires lse_shift."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((32, 2048)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+        p = pack_linear(w, 4)
+        v, i, lse = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            lse_shift=True, select_dtype=jnp.bfloat16,
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        scale = float(np.abs(np.asarray(vr)).max())
+        noise = 2.0 ** -8 * max(scale, 1.0)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(v), axis=1), np.sort(np.asarray(vr), axis=1),
+            rtol=0, atol=noise,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lser), rtol=0, atol=1e-3
+        )
+        # gaussian logits: bf16 ties in the top-5 are overwhelmingly absent
+        assert (np.asarray(i) == np.asarray(ir)).mean() > 0.9
+        with pytest.raises(ValueError):
+            dequant_matmul_topk(
+                x, p, 5, interpret=True, select_dtype=jnp.bfloat16
+            )
+
     def test_store8_rejects_codebook(self, rng):
         w = jnp.asarray(rng.standard_normal((16, 256)).astype(np.float32))
         pts = jnp.linspace(0.0, 1.0, 16)
