@@ -296,7 +296,10 @@ def _topk_kernel(
     def _finalize():
         flat_vs = [vs[st][t] for st in range(streams) for t in range(slots)]
         flat_iv = [iv[st][t] for st in range(streams) for t in range(slots)]
-        cand = jnp.concatenate(flat_vs, axis=1)  # [M, streams*slots*128]
+        # finalize runs in f32 regardless of select_dtype (a [M, wide] bf16
+        # eq-compare trips a Mosaic relayout bug, and the pop loop is a
+        # once-per-call cost); bf16 survivors keep their rounded values
+        cand = jnp.concatenate(flat_vs, axis=1).astype(jnp.float32)
         width = streams * slots * LANES
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, width), 1)
         # survivors carry chunk ids; vocab id = chunk*128 + lane class
@@ -322,7 +325,8 @@ def _topk_kernel(
         # discarded value could not have displaced the k-th selection
         if certify:
             row_disc = jnp.max(
-                jnp.concatenate(disc, axis=1), axis=1, keepdims=True
+                jnp.concatenate(disc, axis=1).astype(jnp.float32),
+                axis=1, keepdims=True,
             )  # [M, 1]
             out_cert[:] = jnp.broadcast_to(
                 (kth > row_disc).astype(jnp.int32), (m, LANES)
