@@ -53,6 +53,7 @@ def build(args):
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,
         generator_store_bits=args.gen_store_bits or None,
+        topk_lse_shift=bool(args.gen_lse_shift),
     )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
 
@@ -433,6 +434,10 @@ def main():
         "--gen-store-bits", type=int, default=8,
         help="generator container bits (8 = byte-stored levels, the serving "
         "default; 0 = true sub-byte packing) — A/B knob",
+    )
+    p.add_argument(
+        "--gen-lse-shift", type=int, default=1,
+        help="fused-kernel fixed-shift lse (1 = serving default) — A/B knob",
     )
     p.add_argument(
         "--t-max", type=int, default=256,
