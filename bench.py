@@ -431,13 +431,13 @@ def main():
         help="bench the continuous-batching engine (throughput + churn)",
     )
     p.add_argument(
-        "--gen-store-bits", type=int, default=8,
-        help="generator container bits (8 = byte-stored levels, the serving "
-        "default; 0 = true sub-byte packing) — A/B knob",
+        "--gen-store-bits", type=int, default=0,
+        help="generator container bits (0 = true sub-byte packing, the "
+        "serving default; 8 = byte-stored levels) — A/B knob",
     )
     p.add_argument(
-        "--gen-lse-shift", type=int, default=1,
-        help="fused-kernel fixed-shift lse (1 = serving default) — A/B knob",
+        "--gen-lse-shift", type=int, default=0,
+        help="fused-kernel fixed-shift lse (0 = serving default) — A/B knob",
     )
     p.add_argument(
         "--t-max", type=int, default=256,

@@ -438,7 +438,11 @@ def dequant_matmul_topk(
       top-k VALUES are bf16-rounded and index choices can differ from f32
       on within-ulp ties — the same tie band the cross-kernel contract
       documents; the certificate stays sound (ties collapse to equality
-      and the strict kth > disc test flags them).
+      and the strict kth > disc test flags them). NOTE: v5e Mosaic rejects
+      bf16 vector compares ("Target does not support this comparison",
+      measured round 4), so this knob currently only runs in interpret
+      mode / on TPU generations with native bf16 compare — kept for them,
+      semantics locked by tests.
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")

@@ -66,11 +66,14 @@ class PackedDecoder(struct.PyTreeNode):
     # >= beam_size = mathematically exact for any logits
     topk_slots: int = struct.field(pytree_node=False, default=2)
     # latency knobs of the fused kernel (see dequant_matmul_topk docstring).
-    # Measured at the serving shape (M=640, V=32k, int4, same-day A/B):
-    # lse_shift 107.5us vs 110.7us baseline -> serving default ON;
-    # streams=2 measured 173us (extra live select state spills) -> off.
+    # All OFF by default after round-4 step-level A/Bs: lse_shift probes
+    # 107.5us vs 110.7us standalone but the FULL decode step measures it
+    # ~1.6% slower (733.2k vs 721.4k tokens/s); streams=2 probes 173us
+    # (live select state spills); store8 is a step-level wash at 2x HBM.
+    # Standalone kernel probes overstate wins because the probe chain
+    # pipelines the next call's weight DMA under the current compute.
     topk_streams: int = struct.field(pytree_node=False, default=1)
-    topk_lse_shift: bool = struct.field(pytree_node=False, default=True)
+    topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
 
 
 def _fuse_cell(cell_params: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -95,8 +98,8 @@ def pack_decoder(
     generator_group: int = 16,
     topk_slots: int = 2,
     topk_streams: int = 1,
-    topk_lse_shift: bool = True,
-    generator_store_bits: Optional[int] = 8,
+    topk_lse_shift: bool = False,
+    generator_store_bits: Optional[int] = None,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
 
@@ -111,13 +114,15 @@ def pack_decoder(
     the group no longer drives VMEM) — size with
     :func:`kernels.pick_generator_group`.
 
-    ``generator_store_bits=8`` (default) stores the generator's quantized
-    levels one per byte: identical ``bits``-level quantization and dequant
-    values, 2x the generator's HBM weight bytes (8.4 MB vs 4.2 MB at the
-    WMT shape — still 4x under f32), and an unpack-free kernel inner loop.
-    Measured with the fixed-shift lse at the serving shape: 89.3 us vs
-    107.5 us sub-byte (BASELINE round 4). Pass ``None`` for the true
-    sub-byte container (minimal HBM).
+    ``generator_store_bits=8`` stores the generator's quantized levels one
+    per byte: identical ``bits``-level quantization and dequant values, 2x
+    the generator's HBM weight bytes (8.4 MB vs 4.2 MB at the WMT shape —
+    still 4x under f32), and an unpack-free kernel inner loop. The
+    STANDALONE kernel probe measures it 89.3 us vs 107.5 us sub-byte with
+    the fixed-shift lse, but at the FULL decode step it is a wash (721.4k
+    vs 722.5k tokens/s, BASELINE round 4 — the probe chain pipelines the
+    next call's weight DMA under the current call's compute, which the
+    real step cannot), so the default stays sub-byte (minimal HBM).
     """
     dec = params["decoder"]
     cells = []
