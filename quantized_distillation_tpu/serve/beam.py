@@ -186,6 +186,30 @@ def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _topk_small(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a TINY trailing dim via k argmax+mask passes.
+
+    ``jax.lax.top_k`` lowers to a full sort on TPU — measurable per decode
+    step even at the candidate matrix's [B, k*kc <= 64] width. k passes of
+    (max, first-index select, mask) are a handful of VPU ops each and keep
+    lax.top_k's exact semantics (values descending, ties broken by lowest
+    index). Inputs must be > float32 min (true of scores/log-probs, which
+    bottom out at NEG_INF = -1e9).
+    """
+    n = x.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sentinel = jnp.finfo(jnp.float32).min
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        mx = jnp.max(cur, axis=-1, keepdims=True)
+        pos = jnp.min(jnp.where(cur == mx, iota, n), axis=-1, keepdims=True)
+        vals.append(mx)
+        idxs.append(pos)
+        cur = jnp.where(iota == pos, sentinel, cur)
+    return jnp.concatenate(vals, -1), jnp.concatenate(idxs, -1)
+
+
 def _gather_beams(tree: PyTree, parent: jnp.ndarray, batch: int, k: int) -> PyTree:
     """Reorder a [B*K, ...] pytree by per-sentence parent beam indices [B,K]."""
     base = jnp.arange(batch)[:, None] * k
@@ -353,9 +377,11 @@ def step_beams_cand(
     logp = jnp.where(fin, fin_logp, logp)
     cand_tok = jnp.where(fin, eos_id, cand_tok)
     cand = state.scores[..., None] + logp  # [B, K, kc]
-    new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
+    # tiny trailing dim (k*kc <= 64): iterative argmax beats lax.top_k's
+    # full sort on TPU, with identical tie semantics
+    new_scores, flat_idx = _topk_small(cand.reshape(b, k * kc), beam_size)
     parent = flat_idx // kc
-    token = jax.vmap(lambda tk, i: tk.reshape(-1)[i])(cand_tok, flat_idx)
+    token = jnp.take_along_axis(cand_tok.reshape(b, k * kc), flat_idx, axis=1)
     return _advance(
         state, new_dec, new_scores, parent, token, t,
         eos_id=eos_id, pad_id=pad_id, align=align,

@@ -172,6 +172,22 @@ class TestBackpointers:
         assert (out[0, :, tlen[0]:] == 0).all()
 
 
+class TestSmallTopK:
+    def test_matches_lax_top_k_including_ties(self):
+        from quantized_distillation_tpu.serve.beam import _topk_small
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((33, 25)).astype(np.float32)
+        # plant exact ties (lax.top_k breaks ties by lowest index)
+        x[0, 3] = x[0, 17] = 2.5
+        x[1, :] = -1e9  # all-NEG_INF row (finished-slot pattern)
+        x[2, 5] = x[2, 6] = x[2, 7] = x[2, 8] = x[2, 9] = 4.0
+        v, i = _topk_small(jnp.asarray(x), 5)
+        vr, ir = jax.lax.top_k(jnp.asarray(x), 5)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+
 class TestCoveragePenalty:
     def test_penalty_formula_and_padding_mask(self):
         from quantized_distillation_tpu.serve import coverage_penalty
