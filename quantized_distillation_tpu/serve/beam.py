@@ -189,12 +189,13 @@ def _flatten_beams(x: jnp.ndarray) -> jnp.ndarray:
 def _topk_small(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a TINY trailing dim via k argmax+mask passes.
 
-    ``jax.lax.top_k`` lowers to a full sort on TPU — measurable per decode
-    step even at the candidate matrix's [B, k*kc <= 64] width. k passes of
-    (max, first-index select, mask) are a handful of VPU ops each and keep
-    lax.top_k's exact semantics (values descending, ties broken by lowest
-    index). Inputs must be > float32 min (true of scores/log-probs, which
-    bottom out at NEG_INF = -1e9).
+    Semantics match ``jax.lax.top_k`` exactly (values descending, ties
+    broken by lowest index; tested). NOT used on the decode hot path: at
+    the full decode step this variant measured +27us/step over lax.top_k
+    at [B, 25] (BASELINE round 4) — the serial chain of cross-lane
+    reductions loses to XLA's sort. Kept for host-side/one-off uses and as
+    the documented negative result. Inputs must be > float32 min (true of
+    scores/log-probs, which bottom out at NEG_INF = -1e9).
     """
     n = x.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
@@ -377,9 +378,11 @@ def step_beams_cand(
     logp = jnp.where(fin, fin_logp, logp)
     cand_tok = jnp.where(fin, eos_id, cand_tok)
     cand = state.scores[..., None] + logp  # [B, K, kc]
-    # tiny trailing dim (k*kc <= 64): iterative argmax beats lax.top_k's
-    # full sort on TPU, with identical tie semantics
-    new_scores, flat_idx = _topk_small(cand.reshape(b, k * kc), beam_size)
+    # lax.top_k, NOT the tempting k-pass iterative argmax: measured at the
+    # full decode step the argmax variant cost +27us/step (627.6k vs 726.1k
+    # tokens/s, BASELINE round 4) — its serial chain of cross-lane
+    # reductions loses badly to XLA's sort even at [B, 25]
+    new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
     parent = flat_idx // kc
     token = jnp.take_along_axis(cand_tok.reshape(b, k * kc), flat_idx, axis=1)
     return _advance(
