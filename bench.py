@@ -48,7 +48,7 @@ def build(args):
     # group from the kernel's own VMEM budget rule
     from quantized_distillation_tpu.kernels import pick_generator_group
 
-    group = pick_generator_group(args.batch * args.beam)
+    group = args.gen_group or pick_generator_group(args.batch * args.beam)
     dec = pack_decoder(
         variables["params"], model.cfg, args.bits, use_pallas=use_pallas,
         generator_group=group,
@@ -434,6 +434,10 @@ def main():
         "--gen-store-bits", type=int, default=0,
         help="generator container bits (0 = true sub-byte packing, the "
         "serving default; 8 = byte-stored levels) — A/B knob",
+    )
+    p.add_argument(
+        "--gen-group", type=int, default=0,
+        help="generator buckets/grid-step override (0 = auto rule) — A/B knob",
     )
     p.add_argument(
         "--gen-lse-shift", type=int, default=0,

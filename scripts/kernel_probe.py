@@ -47,12 +47,14 @@ def main():
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--plain", action="store_true")
     ap.add_argument(
-        "--step", choices=("cells", "nogen"), default=None,
+        "--step", choices=("cells", "nogen", "beamonly"), default=None,
         help="time decode-STEP components instead of one kernel: 'cells' = "
         "_decode_body only (LSTM cells + attention), 'nogen' = "
         "_decode_body + fused top-k generator (the step minus beam "
-        "bookkeeping). Subtract from the headline per-step time to "
-        "attribute the remainder.",
+        "bookkeeping), 'beamonly' = the beam core alone (step_beams_cand "
+        "over a synthetic candidate producer — no decoder, no generator). "
+        "Subtract from the headline per-step time to attribute the "
+        "remainder.",
     )
     ap.add_argument("--dense", action="store_true",
                     help="dense bf16 matmul + XLA top_k/lse (no pallas)")
@@ -76,6 +78,76 @@ def main():
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((args.k, args.n)).astype(np.float32))
     x0 = jnp.asarray(rng.standard_normal((args.m, args.k)).astype(np.float32))
+
+    if args.step == "beamonly":
+        # The beam core in isolation: step_beams_cand over a synthetic
+        # candidate producer whose cost is a couple of VPU ops. Measures
+        # the per-step beam bookkeeping (logp/EOS masking, top_k over
+        # [B, k*kc], parent gathers incl. a decoder-state-sized pytree,
+        # history dus) — the "overheads" bucket of the step decomposition.
+        from quantized_distillation_tpu.serve.beam import (
+            init_beam_state, step_beams_cand,
+        )
+
+        beam = 5
+        batch = args.m // beam
+        h = 256
+        state0 = init_beam_state(
+            {
+                "c0": jnp.zeros((args.m, h)), "h0": jnp.zeros((args.m, h), jnp.bfloat16),
+                "c1": jnp.zeros((args.m, h)), "h1": jnp.zeros((args.m, h), jnp.bfloat16),
+                "feed": jnp.zeros((args.m, h), jnp.bfloat16),
+            },
+            batch, beam, 256,
+        )
+        base_v = jnp.asarray(
+            np.sort(rng.standard_normal((args.m, args.topk)))[:, ::-1].copy(),
+            jnp.float32,
+        )
+        base_i = jnp.asarray(
+            rng.integers(4, args.n, (args.m, args.topk)), jnp.int32
+        )
+
+        def decode_cand(st, tokens):
+            # trivially cheap, state-dependent so steps serialize
+            bump = st["feed"][:, :1].astype(jnp.float32) * 1e-6
+            new = dict(st, feed=st["feed"] + jnp.bfloat16(1e-6))
+            return new, (base_v + bump, base_i, jnp.full((args.m, 1), 5.0))
+
+        def chain(n):
+            def cond(c):
+                return c[0] < n
+
+            def body(c):
+                i, st = c
+                st = step_beams_cand(
+                    decode_cand, st, jax.lax.rem(i, 256), beam_size=beam
+                )
+                return i + 1, st
+
+            _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+            return jnp.sum(st.scores) + jnp.sum(st.sym[0].astype(jnp.float32))
+
+        loop = jax.jit(chain)
+
+        def run2(n):
+            float(loop(n))
+            samples = []
+            for _ in range(args.trials):
+                t0 = time.perf_counter()
+                float(loop(n))
+                samples.append(time.perf_counter() - t0)
+            return sorted(samples)
+
+        t_lo, t_hi = run2(args.lo * 24), run2(args.hi * 24)
+        ests = sorted(
+            (h_ - l) / ((args.hi - args.lo) * 24) for h_, l in zip(t_hi, t_lo)
+        )
+        t = max(ests[len(ests) // 2], 1e-12)
+        print(
+            f"step:beamonly M={args.m} vocab={args.n}: {t * 1e6:.1f} us/step"
+        )
+        return
 
     if args.step:
         from quantized_distillation_tpu.models import make_seq2seq
