@@ -361,17 +361,19 @@ def _sublane(dtype) -> int:
 
 
 def pick_generator_group(
-    rows: int, budget_bytes: int = 12 * 1024 * 1024, max_group: int = 16
+    rows: int, budget_bytes: int = 24 * 1024 * 1024, max_group: int = 32
 ) -> int:
     """Largest power-of-two buckets-per-grid-step under a VMEM-style budget.
 
     Since the round-3 kernel rewrite the logits tiles no longer scale with
     ``group`` (two rotating [rows, 256] scratches replaced the
     [rows, group*256] slab), so this ladder is a conservative cap rather
-    than a hard VMEM constraint; it is kept because group=16 measures
-    fastest at the serving shape (102.5us vs 105.1us at group=32, M=640)
-    and halving for very large row counts bounds weight-block double
-    buffers and scheduler temporaries.
+    than a hard VMEM constraint. Round-4 STEP-LEVEL sweep at the serving
+    shape (M=640): group 8 = 676.6k, 16 = 731.4k, 32 = 748.7k tokens/s —
+    32 wins at the full decode step even though the standalone probe once
+    preferred 16 (probe chains pipeline cross-invocation DMA; trust the
+    step). The ladder halves for very large row counts to bound
+    weight-block double buffers and scheduler temporaries.
 
     The budget is computed from the PADDED row count (the kernel allocates
     its logits scratch at rows rounded up to the f32 sublane of 8), so the

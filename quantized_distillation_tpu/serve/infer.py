@@ -95,7 +95,7 @@ def pack_decoder(
     lut_mode: str = "requant8",
     compute_dtype=jnp.bfloat16,
     use_pallas: bool = True,
-    generator_group: int = 16,
+    generator_group: int = 32,
     topk_slots: int = 2,
     topk_streams: int = 1,
     topk_lse_shift: bool = False,
@@ -109,10 +109,11 @@ def pack_decoder(
     the uniform int8 grid for uniform-kernel speed (see pack_linear).
 
     ``generator_group`` caps buckets/grid-step for the fused vocab kernel.
-    16 measures fastest at serving row counts (since the round-3 rewrite the
-    kernel's logits tiles rotate through two fixed [rows, 256] scratches, so
-    the group no longer drives VMEM) — size with
-    :func:`kernels.pick_generator_group`.
+    32 measures fastest at the serving operating point at the FULL decode
+    step (748.7k vs 731.4k tokens/s at 16, same-session sweep, BASELINE
+    round 4; the kernel's logits tiles rotate through two fixed
+    [rows, 256] scratches since round 3, so the group no longer drives
+    VMEM) — size with :func:`kernels.pick_generator_group`.
 
     ``generator_store_bits=8`` stores the generator's quantized levels one
     per byte: identical ``bits``-level quantization and dequant values, 2x
