@@ -83,9 +83,10 @@ def bucket_group(
       step amortizes it while bounding padding waste for narrow matrices.
 
     ``max_group`` overrides the default cap: wide serving matrices (the
-    vocab generator) measure fastest at 16 buckets/step (39.8us vs 44.7us
-    at 8 for the fused top-k kernel, [320,256]x[256,32k] int4); 32 regresses
-    from VMEM pressure. The default stays 8 — safe for any M.
+    vocab generator) measure fastest at 32 buckets/step at the FULL decode
+    step (round-4 step-level sweep, `topk_fused.pick_generator_group`
+    docstring; earlier standalone probes preferred 16 — probe chains
+    pipeline cross-invocation DMA). The default stays 8 — safe for any M.
     """
     bpb = BUCKET * bits // 8
     min_g = -(-128 // bpb)
