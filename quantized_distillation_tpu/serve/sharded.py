@@ -109,6 +109,7 @@ def shard_decoder(dec: PackedDecoder, mesh: Mesh, gen_kernel, gen_bias) -> Packe
         group=gen.group,
         points=gen.points,
         bias=jax.device_put(gen.bias, NamedSharding(mesh, P(MODEL_AXIS))),
+        quant_bits=gen.quant_bits,
     )
     rep = NamedSharding(mesh, P())
     return PackedDecoder(

@@ -98,6 +98,31 @@ class TestShardedGenerator:
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
 
+    def test_shard_decoder_preserves_store8_quantization(self, setup):
+        """shard_decoder must repack a byte-stored (store_bits=8) decoder at
+        its TRUE quant bits — reusing the container bits would silently
+        re-quantize the generator at 8 bits (the quant_bits plumbing)."""
+        m, v, src, sl, _ = setup
+        dec4 = pack_decoder(
+            v["params"], m.cfg, 4, compute_dtype=jnp.float32,
+            use_pallas=False, generator_store_bits=8,
+        )
+        assert dec4.generator.bits == 8
+        assert dec4.generator.effective_quant_bits == 4
+        mesh = make_mesh(2, 4)
+        sdec = shard_decoder(
+            dec4, mesh,
+            v["params"]["generator"]["kernel"],
+            v["params"]["generator"]["bias"],
+        )
+        assert sdec.generator.effective_quant_bits == 4
+        assert sdec.generator.bits == 8
+        cfg = BeamConfig(beam_size=3, max_len=8)
+        t1, s1 = beam_search_packed(m, v, dec4, src, sl, cfg, fused_topk=True)
+        t2, s2 = beam_search_sharded(m, v, sdec, src, sl, cfg, mesh)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
     def test_rejects_indivisible_batch(self, setup):
         m, v, src, sl, dec = setup
         mesh = make_mesh(8, 1)
