@@ -361,28 +361,28 @@ def _sublane(dtype) -> int:
 
 
 def pick_generator_group(
-    rows: int, budget_bytes: int = 24 * 1024 * 1024, max_group: int = 32
+    rows: int, budget_bytes: int = 32 * 1024 * 1024, max_group: int = 32
 ) -> int:
-    """Largest power-of-two buckets-per-grid-step under a VMEM-style budget.
+    """Largest power-of-two buckets-per-grid-step under a VMEM-cost model.
 
-    Since the round-3 kernel rewrite the logits tiles no longer scale with
-    ``group`` (two rotating [rows, 256] scratches replaced the
-    [rows, group*256] slab), so this ladder is a conservative cap rather
-    than a hard VMEM constraint. Round-4 STEP-LEVEL sweep at the serving
-    shape (M=640): group 8 = 676.6k, 16 = 731.4k, 32 = 748.7k tokens/s —
-    32 wins at the full decode step even though the standalone probe once
-    preferred 16 (probe chains pipeline cross-invocation DMA; trust the
-    step). The ladder halves for very large row counts to bound
-    weight-block double buffers and scheduler temporaries.
+    Round-4 STEP-LEVEL sweep at the serving shape (M=640): group 8 =
+    676.6k, 16 = 731.4k, 32 = 748.7k tokens/s — 32 wins at the full decode
+    step even though the standalone probe once preferred 16 (probe chains
+    pipeline cross-invocation DMA; trust the step). Large row counts must
+    still halve: Mosaic's scoped-VMEM allocation at rows=1280 with group 16
+    measured 34.0 MB against the kernel's 32 MB limit (compile OOM), while
+    rows=640 with group 32 fits — so the cost model carries a rows term
+    beyond the rows x group product: ``rows_padded * (group + 16) * 1024``
+    bytes, fitted to those two anchors (640x32 → 31.5 MB ok, 1280x16 →
+    41.9 MB over → halves to 8).
 
-    The budget is computed from the PADDED row count (the kernel allocates
-    its logits scratch at rows rounded up to the f32 sublane of 8), so the
-    model matches the real tile even just under a ladder boundary. Note
-    low-bit packing can still override the pick upward: ``packed.bucket_group``
-    clamps 2-bit groups to >= 2 so a group spans whole bytes."""
+    The model uses the PADDED row count (the kernel pads rows to the f32
+    sublane of 8). Note low-bit packing can still override the pick upward:
+    ``packed.bucket_group`` clamps 2-bit groups to >= 2 so a group spans
+    whole bytes."""
     rows_padded = -(-rows // _sublane(jnp.float32)) * _sublane(jnp.float32)
     group = max_group
-    while group > 1 and rows_padded * group * BUCKET * 4 > budget_bytes:
+    while group > 1 and rows_padded * (group + 16) * BUCKET * 4 > budget_bytes:
         group //= 2
     return group
 
