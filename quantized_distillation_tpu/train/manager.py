@@ -89,6 +89,12 @@ class ExperimentManager:
     def get_config(self, name: str) -> Dict:
         return dict(self._registry["models"][name]["config"])
 
+    def update_config(self, name: str, config: Dict) -> None:
+        """Re-register a model's config (e.g. a driver re-run with changed
+        flags that chose to retrain rather than resume)."""
+        self._registry["models"][name]["config"] = dict(config)
+        self._flush()
+
     # ---- checkpoints ----
     def _ckpt_dir(self, name: str) -> str:
         return os.path.join(self.root, name, "checkpoints")
