@@ -91,11 +91,9 @@ def main():
     )
     ttx = build_optimizer(tcfg, steps_per_epoch=max(len(train_ds.labels) // args.batch_size, 1))
     tstate = create_train_state(tv["params"], ttx, batch_stats=tv["batch_stats"])
-    if mgr.has_model(tname) and mgr.latest_step(tname):
+    if mgr.resume_or_register(tname, vars(args)):
         tstate = mgr.restore(tname, tstate)
     else:
-        if not mgr.has_model(tname):
-            mgr.add_new_model(tname, vars(args))
         tstate = fit(
             ttask, tstate, tcfg, train_stream, eval_batches=eval_stream,
             tx=ttx, logger=logger, manager=mgr, model_name=tname,

@@ -103,12 +103,10 @@ def main():
     ttask = vision_task(teacher)
     ttx = build_optimizer(tcfg)
     tstate = create_train_state(tv["params"], ttx, batch_stats=tv["batch_stats"])
-    if mgr.has_model(tname) and mgr.latest_step(tname):
+    if mgr.resume_or_register(tname, vars(args)):
         tstate = mgr.restore(tname, tstate)
         logger.log("teacher_restored", step=int(tstate.step))
     else:
-        if not mgr.has_model(tname):
-            mgr.add_new_model(tname, vars(args))
         tstate = fit(
             ttask, tstate, tcfg, train_stream(train_ds, True),
             eval_batches=eval_stream, tx=ttx, logger=logger,

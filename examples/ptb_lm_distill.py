@@ -113,12 +113,10 @@ def main():
     tcarry = lm_initial_carry(teacher, args.batch_size)
     ttx = build_optimizer(tcfg)
     tstate = create_train_state(tv["params"], ttx, carry=tcarry)
-    if mgr.has_model(tname) and mgr.latest_step(tname):
+    if mgr.resume_or_register(tname, vars(args)):
         tstate = mgr.restore(tname, tstate)
         logger.log("teacher_restored", step=int(tstate.step))
     else:
-        if not mgr.has_model(tname):
-            mgr.add_new_model(tname, vars(args))
         tstate = fit(
             ttask, tstate, tcfg, train_stream,
             eval_batches=eval_stream, tx=ttx, logger=logger,

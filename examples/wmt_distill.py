@@ -178,30 +178,13 @@ def main():
                        clip_norm=args.clip_norm, seed=args.seed)
     ttx = build_optimizer(tcfg)
     tstate = create_train_state(tv["params"], ttx)
-    # Resume the teacher by name ONLY when the registered run config matches
-    # the current invocation (reference ModelManager semantics, made honest:
-    # a stale checkpoint trained under different data/size/schedule flags
-    # otherwise silently poisons the distillation — observed with a leftover
-    # 2-epoch smoke-run teacher in the shared default workdir).
-    volatile = {"workdir", "quick"}
-    cur_cfg = {k: v for k, v in vars(args).items() if k not in volatile}
-    stored = {
-        k: v for k, v in (mgr.get_config(tname) or {}).items()
-        if k not in volatile
-    } if mgr.has_model(tname) else None
-    if mgr.has_model(tname) and mgr.latest_step(tname) and stored == cur_cfg:
+    # Resume the teacher ONLY when the registered run config matches the
+    # current invocation (the blind resume-by-name silently reused a stale
+    # teacher and poisoned the distillation — see manager.resume_or_register)
+    if mgr.resume_or_register(tname, vars(args)):
         tstate = mgr.restore(tname, tstate)
         logger.log("teacher_resume", step=float(mgr.latest_step(tname)))
     else:
-        if mgr.has_model(tname):
-            if stored != cur_cfg and stored is not None:
-                print(
-                    f"[manager] config changed for {tname}; retraining "
-                    "(stale checkpoint ignored)"
-                )
-            mgr.update_config(tname, vars(args))
-        else:
-            mgr.add_new_model(tname, vars(args))
         tstate = fit(ttask, tstate, tcfg, train_stream, eval_batches=eval_stream,
                      tx=ttx, logger=logger, manager=mgr, model_name=tname,
                      item_count=token_count)

@@ -95,6 +95,40 @@ class ExperimentManager:
         self._registry["models"][name]["config"] = dict(config)
         self._flush()
 
+    def resume_or_register(
+        self,
+        name: str,
+        config: Dict,
+        volatile: tuple = ("workdir", "quick"),
+    ) -> bool:
+        """True iff a checkpoint trained under the SAME config exists (the
+        caller should :meth:`restore` it); otherwise (re)registers
+        ``config`` and returns False (the caller should train).
+
+        The reference's ModelManager resumed purely by name, which silently
+        reuses a checkpoint trained under different data/size/schedule
+        flags (observed poisoning a distillation run — BASELINE round 4).
+        ``volatile`` keys (paths, smoke-run switches) are ignored in the
+        comparison.
+        """
+        cur = {k: v for k, v in config.items() if k not in volatile}
+        if self.has_model(name):
+            stored = {
+                k: v for k, v in self.get_config(name).items()
+                if k not in volatile
+            }
+            if self.latest_step(name) and stored == cur:
+                return True
+            if stored != cur:
+                print(
+                    f"[manager] config changed for {name!r}; retraining "
+                    "(stale checkpoint ignored)"
+                )
+            self.update_config(name, config)
+            return False
+        self.add_new_model(name, config)
+        return False
+
     # ---- checkpoints ----
     def _ckpt_dir(self, name: str) -> str:
         return os.path.join(self.root, name, "checkpoints")

@@ -80,3 +80,22 @@ class TestCheckpoint:
         mgr.add_new_model("empty")
         with pytest.raises(FileNotFoundError):
             mgr.restore("empty", {"a": jnp.zeros(3)})
+
+    def test_resume_or_register_is_config_aware(self, tmp_path):
+        """Resume only when the registered run config matches: a stale
+        checkpoint trained under different flags must trigger a retrain
+        (round-4 finding: blind resume-by-name poisoned a distillation)."""
+        mgr = ExperimentManager(str(tmp_path))
+        cfg = {"epochs": 2, "lr": 1e-3, "workdir": "/a"}
+        # unknown model: registers, asks to train
+        assert mgr.resume_or_register("m", cfg) is False
+        # registered but no checkpoint yet: still train
+        assert mgr.resume_or_register("m", cfg) is False
+        mgr.save("m", {"w": jnp.zeros(3)}, 5)
+        # same config (volatile workdir differs): resume
+        assert mgr.resume_or_register("m", dict(cfg, workdir="/b")) is True
+        # changed config: retrain and re-register
+        assert mgr.resume_or_register("m", dict(cfg, epochs=9)) is False
+        assert mgr.get_config("m")["epochs"] == 9
+        # and the updated config now resumes
+        assert mgr.resume_or_register("m", dict(cfg, epochs=9)) is True
