@@ -180,8 +180,17 @@ def main():
     tstate = create_train_state(tv["params"], ttx)
     # Resume the teacher ONLY when the registered run config matches the
     # current invocation (the blind resume-by-name silently reused a stale
-    # teacher and poisoned the distillation — see manager.resume_or_register)
-    if mgr.resume_or_register(tname, vars(args)):
+    # teacher and poisoned the distillation — see manager.resume_or_register).
+    # Only flags that affect the TRAINED TEACHER WEIGHTS participate: decode/
+    # eval knobs (--beam, penalties, test paths) and student-only flags must
+    # not invalidate a reusable teacher checkpoint.
+    teacher_keys = (
+        "teacher_preset", "teacher_epochs", "batch_size", "lr", "clip_norm",
+        "seed", "src_train", "tgt_train", "raw_text", "bpe_merges",
+        "src_lang", "tgt_lang", "toy_size", "toy_vocab",
+    )
+    tconfig = {k: getattr(args, k) for k in teacher_keys}
+    if mgr.resume_or_register(tname, tconfig):
         tstate = mgr.restore(tname, tstate)
         logger.log("teacher_resume", step=float(mgr.latest_step(tname)))
     else:

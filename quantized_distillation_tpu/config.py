@@ -93,9 +93,10 @@ class BeamConfig:
     ``length_penalty`` (alpha) and ``coverage_penalty`` (beta) are the GNMT
     GlobalScorer penalties of the era (reference ``onmt/Beam.py``; Wu et al.
     2016 eq. 14), both defaulted off as in the reference's experiments.
-    Coverage tracking is supported on the offline beam paths
-    (``serve.beam.beam_search`` / ``serve.infer.beam_search_packed``); the
-    continuous-batching engine — a beyond-reference subsystem — rejects it.
+    Coverage tracking works on every beam path: the offline paths
+    (``serve.beam.beam_search`` / ``serve.infer.beam_search_packed``), the
+    sharded decode step, and the continuous-batching engine (which resets
+    its [S, K, T_src] coverage accumulator on slot admission).
     """
 
     beam_size: int = 5

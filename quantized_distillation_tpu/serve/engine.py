@@ -47,6 +47,7 @@ from .beam import (
     NEG_INF,
     PARENT_DTYPE,
     BeamState,
+    coverage_penalty,
     length_penalty,
     reconstruct_tokens,
     step_beams,
@@ -87,12 +88,12 @@ class TranslationEngine:
         self.cfg = cfg
         self.dec = packed_decoder
         self.mesh = mesh
-        if cfg.beam.coverage_penalty != 0.0:
-            raise ValueError(
-                "coverage_penalty is supported on the offline beam paths "
-                "(serve.beam.beam_search / serve.infer.beam_search_packed); "
-                "the continuous-batching engine does not track coverage"
-            )
+        # GNMT coverage penalty (reference onmt/Beam.py GlobalScorer): the
+        # grid carries a [S, K, T_src] attention-mass accumulator, reset on
+        # admission like scores/lengths and gathered by parent in the beam
+        # core; the penalty applies at extraction. Costs one row-sharded
+        # accumulate riding the existing attention — no extra collective.
+        self._cov = cfg.beam.coverage_penalty != 0.0
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
 
@@ -130,6 +131,7 @@ class TranslationEngine:
         from .infer import KMAX
 
         mesh = self.mesh
+        cov = self._cov
         use_cand = dec is not None and k <= KMAX
         if dec is not None and mesh is not None:
             if not use_cand:
@@ -142,7 +144,9 @@ class TranslationEngine:
             def encode(src, src_len):
                 return encode_packed(model, variables, dec, src, src_len)
 
-            _sh_step = make_sharded_decode_step_topk(dec, mesh, k)
+            _sh_step = make_sharded_decode_step_topk(
+                dec, mesh, k, with_align=cov
+            )
 
             def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
                 return _sh_step(st, tokens, enc_keys, enc_out, enc_mask)
@@ -165,14 +169,16 @@ class TranslationEngine:
                 # consumes per-beam candidates, never [S*K, V] logits
                 def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
                     return packed_decode_step_topk(
-                        dec, st, tokens, enc_keys, enc_out, enc_mask, k
+                        dec, st, tokens, enc_keys, enc_out, enc_mask, k,
+                        with_align=cov,
                     )
 
             else:
 
                 def decode_step(enc_keys, enc_out, enc_mask, st, tokens):
                     return packed_decode_step(
-                        dec, st, tokens, enc_keys, enc_out, enc_mask
+                        dec, st, tokens, enc_keys, enc_out, enc_mask,
+                        with_align=cov,
                     )
 
         else:
@@ -191,7 +197,7 @@ class TranslationEngine:
                     variables, st, tokens,
                     jnp.repeat(enc_out, k, axis=0),
                     jnp.repeat(enc_mask, k, axis=0),
-                    method=model.decode_step,
+                    method=(model.decode_step_attn if cov else model.decode_step),
                 )
 
         self._encode = jax.jit(encode)
@@ -226,6 +232,13 @@ class TranslationEngine:
                 scores=jnp.where(row, new_beam.scores, beam.scores),
                 finished=jnp.where(row, new_beam.finished, beam.finished),
                 lengths=jnp.where(row, new_beam.lengths, beam.lengths),
+                coverage=(
+                    None
+                    if beam.coverage is None
+                    else jnp.where(
+                        row[..., None], new_beam.coverage, beam.coverage
+                    )
+                ),
             )
             done = active & (
                 jnp.all(merged.finished, axis=1) | (t_vec + 1 >= t_max)
@@ -312,6 +325,13 @@ class TranslationEngine:
                 lengths=beam.lengths.at[slots].set(
                     jnp.zeros((a, k), jnp.int32), mode="drop"
                 ),
+                coverage=(
+                    None
+                    if beam.coverage is None
+                    else beam.coverage.at[slots].set(
+                        jnp.zeros((a, k, t_src), jnp.float32), mode="drop"
+                    )
+                ),
             )
             return (enc_keys, enc_out, enc_mask, beam)
 
@@ -338,6 +358,10 @@ class TranslationEngine:
             toks = reconstruct_tokens(sym_a, par_a, k)[:, :, :t_max]
             lp = length_penalty(beam.lengths[sl], cfg.beam.length_penalty)
             norm = beam.scores[sl] / lp
+            if beam.coverage is not None:
+                norm = norm + coverage_penalty(
+                    beam.coverage[sl], cfg.beam.coverage_penalty
+                )
             top_scores, order = jax.lax.top_k(norm, cfg.beam.n_best)
             toks_n = jnp.take_along_axis(toks, order[:, :, None], axis=1)
             return toks_n, top_scores
@@ -372,6 +396,9 @@ class TranslationEngine:
                     scores=put(beam.scores),
                     finished=put(beam.finished),
                     lengths=put(beam.lengths),
+                    coverage=(
+                        None if beam.coverage is None else put(beam.coverage)
+                    ),
                 ),
             )
 
@@ -402,6 +429,9 @@ class TranslationEngine:
             scores=jnp.full((s, k), NEG_INF, jnp.float32),
             finished=jnp.ones((s, k), bool),
             lengths=jnp.zeros((s, k), jnp.int32),
+            coverage=(
+                jnp.zeros((s, k, t_src), jnp.float32) if self._cov else None
+            ),
         )
         # encoder tensors are per-SLOT (beams fold inside the decode body):
         # k-times less grid memory and per-step attention HBM traffic
@@ -579,6 +609,19 @@ class TranslationEngine:
             raise ValueError(
                 f"chunk_steps {n} exceeds the ring-history headroom "
                 f"{self._chunk_cap}"
+            )
+        if not force_active and n_chunks * n > self._chunk_cap:
+            # Without extraction between chunks, a slot that finishes in the
+            # FIRST chunk sits unextracted for the whole drive; its ring
+            # window would be overwritten once total steps exceed the
+            # headroom and the later step() extraction would silently return
+            # corrupted hypotheses. (force_active=True poisons the engine
+            # anyway, so only the serving-preserving path needs the bound.)
+            raise ValueError(
+                f"drive_chunks(force_active=False): n_chunks*chunk_steps "
+                f"{n_chunks * n} exceeds the ring-history headroom "
+                f"{self._chunk_cap}; interleave step() to extract, or drive "
+                "fewer chunks"
             )
         grid, t_vec = self._grid, jnp.asarray(self._slot_t)
         n_inner = jnp.int32(n)

@@ -140,10 +140,14 @@ def _decoder_specs(dec: PackedDecoder) -> PackedDecoder:
     return specs.replace(generator=gen)
 
 
-def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
+def make_sharded_decode_step_topk(
+    dec: PackedDecoder, mesh: Mesh, k: int, *, with_align: bool = False
+):
     """Build ``(state, tokens, enc_keys, enc_out, enc_mask) ->
     (state, (vals, idx, lse))`` with rows over ``data`` and the generator
     over ``model``; all returned candidate indices are GLOBAL vocab ids.
+    ``with_align`` appends the attention alignment ``align [rows, T_src]``
+    (row-sharded, no extra collective) for coverage-penalty decoding.
     """
     mp = mesh.shape[MODEL_AXIS]
     row = P(DATA_AXIS)
@@ -153,7 +157,7 @@ def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
 
     def body(d: PackedDecoder, state, tokens, enc_keys, enc_out, enc_mask):
         # local rows, replicated small weights
-        new_state, attn_h, _ = _decode_body(
+        new_state, attn_h, align = _decode_body(
             d, state, tokens, enc_keys, enc_out, enc_mask
         )
         gen = d.generator
@@ -191,14 +195,22 @@ def make_sharded_decode_step_topk(dec: PackedDecoder, mesh: Mesh, k: int):
         best_v, pos = jax.lax.top_k(vals_u, k)
         best_i = jnp.take_along_axis(idx_u, pos, axis=1)
         lse_all = jax.nn.logsumexp(lse_g[..., 0], axis=0)[:, None]  # [rows, 1]
+        if with_align:
+            return new_state, (best_v, best_i, lse_all), align
         return new_state, (best_v, best_i, lse_all)
 
     def step(state, tokens, enc_keys, enc_out, enc_mask):
         state_specs = jax.tree.map(lambda _: row, state)
+        cand_specs = (P(DATA_AXIS, None),) * 3
+        out_specs = (
+            (state_specs, cand_specs, P(DATA_AXIS, None))
+            if with_align
+            else (state_specs, cand_specs)
+        )
         kw = dict(
             mesh=mesh,
             in_specs=(dec_specs, state_specs, row, rowT, rowT, P(DATA_AXIS, None)),
-            out_specs=(state_specs, (P(DATA_AXIS, None),) * 3),
+            out_specs=out_specs,
         )
         # outputs ARE replicated over `model` (post-all-gather merge) but the
         # checker can't infer it statically; kwarg renamed across jax versions

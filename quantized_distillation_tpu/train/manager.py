@@ -124,6 +124,12 @@ class ExperimentManager:
                     f"[manager] config changed for {name!r}; retraining "
                     "(stale checkpoint ignored)"
                 )
+                # Drop the stale pointer NOW: if the retrain is interrupted
+                # before its first save, the next invocation would otherwise
+                # see stored==cur plus the old latest_step and silently
+                # restore a checkpoint trained under the OLD config — the
+                # exact poisoning this API exists to prevent.
+                self._registry["models"][name]["latest_step"] = None
             self.update_config(name, config)
             return False
         self.add_new_model(name, config)

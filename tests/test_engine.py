@@ -204,6 +204,67 @@ class TestEngineEquivalence:
         assert out and out[0].request_id == rid
         np.testing.assert_array_equal(out[0].tokens, ref[0])
 
+    def test_coverage_penalty_engine_matches_offline(self, setup):
+        # GNMT coverage penalty in the ENGINE (round-4 verdict item 4): the
+        # grid's [S, K, T_src] coverage accumulator — reset on admission,
+        # gathered by parent, applied at extraction — must reproduce the
+        # offline coverage-penalty beam search exactly, staggered arrivals
+        # included (admission resets mid-serve).
+        m, v, sents, ref_plain = setup
+        bc = BeamConfig(
+            beam_size=3, max_len=12, length_penalty=0.6, coverage_penalty=0.4
+        )
+        src_pad = np.zeros((len(sents), 16), np.int32)
+        for i, s in enumerate(sents):
+            src_pad[i, : len(s)] = s
+        slen = np.asarray([len(s) for s in sents], np.int32)
+        ref, ref_scores = beam_search(
+            m, v, jnp.asarray(src_pad), jnp.asarray(slen), bc
+        )
+        ref, ref_scores = np.asarray(ref), np.asarray(ref_scores)
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=12, beam=bc
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids, res = {}, {}
+        arrival = {0: [0, 1], 2: [2, 3, 4], 4: [5, 6, 7, 8, 9, 10]}
+        step = 0
+        while len(res) < len(sents):
+            for i in arrival.get(step, []):
+                rids[eng.submit(sents[i])] = i
+            for c in eng.step():
+                res[c.request_id] = c
+            step += 1
+            assert step < 200
+        for rid, i in rids.items():
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+            np.testing.assert_allclose(res[rid].score, ref_scores[i], rtol=1e-5)
+
+    def test_coverage_penalty_packed_engine(self, setup):
+        # same property over the packed inference path (fused-candidate beam
+        # core returning align): engine == offline packed beam search
+        m, v, sents, _ = setup
+        bc = BeamConfig(beam_size=3, max_len=12, coverage_penalty=0.4)
+        from quantized_distillation_tpu.serve.infer import beam_search_packed
+
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        src_pad = np.zeros((6, 16), np.int32)
+        for i, s in enumerate(sents[:6]):
+            src_pad[i, : len(s)] = s
+        slen = np.asarray([len(s) for s in sents[:6]], np.int32)
+        ref, _ = beam_search_packed(
+            m, v, dec, jnp.asarray(src_pad), jnp.asarray(slen), bc
+        )
+        ref = np.asarray(ref)
+        cfg = ServeConfig(max_slots=3, max_src_len=16, max_tgt_len=12, beam=bc)
+        eng = TranslationEngine(m, v, cfg, packed_decoder=dec)
+        rids = [eng.submit(s) for s in sents[:6]]
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
     def test_large_t_max_same_results(self, setup):
         # backpointer histories: per-step cost and results are t_max-
         # independent; a 16x-deeper grid must match offline at that depth

@@ -94,8 +94,16 @@ class TestCheckpoint:
         mgr.save("m", {"w": jnp.zeros(3)}, 5)
         # same config (volatile workdir differs): resume
         assert mgr.resume_or_register("m", dict(cfg, workdir="/b")) is True
-        # changed config: retrain and re-register
+        # changed config: retrain and re-register; the stale pointer is
+        # DROPPED immediately (round-4 advisor finding: if the retrain dies
+        # before its first save, a later same-config invocation must not
+        # silently restore the old-config checkpoint)
         assert mgr.resume_or_register("m", dict(cfg, epochs=9)) is False
         assert mgr.get_config("m")["epochs"] == 9
-        # and the updated config now resumes
+        assert mgr.latest_step("m") is None
+        # interrupted-retrain scenario: same new config, still no checkpoint
+        # under it -> must train again, not resume the poisoned one
+        assert mgr.resume_or_register("m", dict(cfg, epochs=9)) is False
+        # only after a save under the new config does resume kick in
+        mgr.save("m", {"w": jnp.ones(3)}, 2)
         assert mgr.resume_or_register("m", dict(cfg, epochs=9)) is True

@@ -144,6 +144,52 @@ class TestTrainStep:
             for k in cb0
         )
 
+    def test_joint_mode_moves_weights_and_codebooks(self, cnn_setup):
+        """mode='joint' is what wmt_distill.py --method codebook runs in
+        production: BOTH the FP master weights and the codebook points must
+        receive gradient, loss must fall, and hard-quantized eval must match
+        quantize_tree_hard with the TRAINED codebooks."""
+        student, sv, batch = cnn_setup
+        quant = QuantSpec(bits=4, method="codebook")
+        task = vision_task(student)
+        tx = build_optimizer(TrainConfig(learning_rate=3e-3))
+        state = create_train_state(
+            sv["params"], tx, batch_stats=sv["batch_stats"], quant=quant,
+            mode="joint",
+        )
+        step = make_train_step(task, tx, quant=quant, mode="joint", donate=False)
+        p0 = jax.tree.map(lambda x: x.copy(), state.params)
+        cb0 = {k: v.copy() for k, v in state.codebooks.items()}
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(30):
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+        assert min(losses[-3:]) < losses[0]
+        # weights move (a stop_gradient regression would freeze them)...
+        spec_flat = jax.tree_util.tree_flatten_with_path(p0)[0]
+        moved = [
+            not np.allclose(np.asarray(l), np.asarray(n))
+            for (path, l), n in zip(spec_flat, jax.tree.leaves(state.params))
+            if qt.is_quantizable(qt.path_str(path), l, quant)
+        ]
+        assert all(moved)
+        # ...and so do the codebooks
+        assert any(
+            not np.allclose(np.asarray(cb0[k]), np.asarray(state.codebooks[k]))
+            for k in cb0
+        )
+        # deploy parity: the eval step's hard-quantized weights are exactly
+        # quantize_tree_hard(params, quant, trained codebooks)
+        hard = qt.quantize_tree_hard(state.params, quant, state.codebooks)
+        variables = {"params": hard, "batch_stats": state.batch_stats}
+        logits, _ = task.student_forward(variables, batch, False, {})
+        em = make_eval_step(task, quant=quant)(state, batch)
+        _, metrics = task.loss_and_metrics(logits, None, batch, None)
+        np.testing.assert_allclose(
+            float(em["accuracy"]), float(metrics["accuracy"]), rtol=1e-6
+        )
+
     def test_stochastic_rounding_mode_runs(self, cnn_setup):
         student, sv, batch = cnn_setup
         quant = QuantSpec(bits=4, stochastic=True)
