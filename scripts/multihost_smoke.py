@@ -1,4 +1,4 @@
-"""Multi-process (DCN-path) smoke: one sharded KD train step across hosts.
+"""Multi-process (DCN-path) smoke: sharded KD train + serve across hosts.
 
 The reference has no distributed anything (SURVEY.md §2); the new framework's
 multi-host story is `jax.distributed.initialize` + a ('data', 'model') mesh
@@ -10,8 +10,14 @@ each), builds the global 2D mesh, and runs
   1. a psum sanity across all global devices,
   2. ONE full fake-quant KD train step with the production sharding rules
      (`parallel.sharding.place_params_seq2seq` / batch over `data`),
+  3. FOUR chained sharded decode steps (`make_sharded_decode_step_topk`)
+     with vocab-TP inside each process and beam rows spanning the
+     process-crossing `data` axis — the north-star serving decomposition,
+     token-parity-checked against the single-device packed step per shard,
 
-asserting every process sees the same finite loss. SURVEY.md §4 item 3.
+asserting every process sees the same finite loss and identical tokens.
+SURVEY.md §4 item 3; round-4 VERDICT missing #4 (the serving path had never
+crossed a process boundary).
 
   python scripts/multihost_smoke.py            # spawn 2 processes
   python scripts/multihost_smoke.py --procs 4
@@ -96,8 +102,83 @@ def worker(pid: int, nprocs: int, port: int) -> None:
     state, metrics = step(state, batch, rng)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), loss
-    print(f"[proc {pid}/{nprocs}] mesh {dict(mesh.shape)} psum OK, "
-          f"KD step loss {loss:.4f} OK", flush=True)
+
+    # 3. sharded SERVING decode across processes: the north-star layout —
+    # vocab-TP over `model` (intra-process "ICI"), slot×beam rows over the
+    # process-spanning `data` axis ("DCN", which carries 0 decode bytes).
+    # Four chained decode steps; each process checks its addressable row
+    # shards against the single-device packed step (exact: same f32 math,
+    # same padded generator columns; only the lse merge order differs and
+    # it never affects per-row top-k order).
+    from jax.sharding import NamedSharding as NS, PartitionSpec as PS
+
+    from quantized_distillation_tpu.serve import pack_decoder, shard_decoder
+    from quantized_distillation_tpu.serve.beam import expand_to_beams
+    from quantized_distillation_tpu.serve.infer import (
+        encode_packed,
+        packed_decode_step_topk,
+    )
+    from quantized_distillation_tpu.serve.sharded import (
+        make_sharded_decode_step_topk,
+    )
+
+    kbeam = 2
+    dec = pack_decoder(
+        sv["params"], student.cfg, 4, compute_dtype=jnp.float32,
+        use_pallas=False,
+    )
+    sdec = shard_decoder(
+        dec, mesh,
+        sv["params"]["generator"]["kernel"],
+        sv["params"]["generator"]["bias"],
+    )
+    rng_np = np.random.default_rng(7)
+    src_srv = jnp.asarray(rng_np.integers(3, vocab, (b, t)), jnp.int32)
+    keys, enc_out, enc_mask, st0 = encode_packed(
+        student, sv, dec, src_srv, sl
+    )
+    state0 = expand_to_beams(st0, kbeam)
+    tok0 = jnp.full((b * kbeam,), 2, jnp.int32)
+
+    # single-device reference (every process computes the full batch)
+    ref_step = jax.jit(
+        lambda st, tok: packed_decode_step_topk(
+            dec, st, tok, keys, enc_out, enc_mask, kbeam
+        )
+    )
+    st_ref, tok_ref = state0, tok0
+    ref_toks = []
+    for _ in range(4):
+        st_ref, (_, idx, _) = ref_step(st_ref, tok_ref)
+        tok_ref = idx[:, 0]
+        ref_toks.append(np.asarray(tok_ref))
+
+    # sharded path: rows over `data` (spans processes), generator over
+    # `model`; device_put of host-replicated values to the global sharding
+    rows_sh = NS(mesh, PS("data"))
+    keys_b = jax.device_put(keys, NS(mesh, PS("data", None, None)))
+    enc_out_b = jax.device_put(enc_out, NS(mesh, PS("data", None, None)))
+    enc_mask_b = jax.device_put(enc_mask, NS(mesh, PS("data", None)))
+    st_sh = jax.tree.map(lambda x: jax.device_put(x, rows_sh), state0)
+    tok_sh = jax.device_put(tok0, rows_sh)
+    sstep = jax.jit(make_sharded_decode_step_topk(sdec, mesh, kbeam))
+    for i in range(4):
+        st_sh, (_, idx_sh, _) = sstep(
+            st_sh, tok_sh, keys_b, enc_out_b, enc_mask_b
+        )
+        tok_sh = idx_sh[:, 0]
+        # parity on this process's addressable shards only (global rows
+        # live across processes)
+        for shard in tok_sh.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data), ref_toks[i][shard.index]
+            )
+    print(
+        f"[proc {pid}/{nprocs}] mesh {dict(mesh.shape)} psum OK, "
+        f"KD step loss {loss:.4f} OK, sharded decode x4 token-parity OK "
+        f"(rows {b * kbeam} over data, vocab-TP {DEVS_PER_PROC})",
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -139,7 +220,10 @@ def main() -> None:
     rc = [p.wait() for p in procs]
     if any(rc):
         sys.exit(f"worker failures: {rc}")
-    print(f"multihost smoke: {args.procs} processes x {DEVS_PER_PROC} devices OK")
+    print(
+        f"multihost smoke: {args.procs} processes x {DEVS_PER_PROC} devices "
+        "OK (KD train step + sharded decode x4 token parity)"
+    )
 
 
 if __name__ == "__main__":
