@@ -131,3 +131,10 @@ class ServeConfig:
     # shorter chunks under queue pressure re-admit freed slots sooner,
     # trading dispatch overhead for occupancy (engine.step's default policy).
     chunk_steps_busy: Optional[int] = None
+    # Admit-ahead staging (load smoothing, round-4 verdict item 2): keep up
+    # to this many admission batches PRE-ENCODED on device while slots are
+    # busy, so a freed slot refills next chunk with a single scatter even
+    # under bursty arrivals (the encode dispatch overlaps the running decode
+    # chunk instead of serializing into the admission path). 0 = off
+    # (encode at admission time, the pre-round-5 behavior).
+    stage_ahead: int = 0

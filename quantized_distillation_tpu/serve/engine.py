@@ -105,6 +105,12 @@ class TranslationEngine:
         self._next_id = 0
         self._poisoned = False  # set by drive_chunks(force_active=True)
         self._queue: List[Tuple[int, np.ndarray, int]] = []
+        # Admit-ahead staging (cfg.stage_ahead): encoded-but-not-admitted
+        # admission batches. Each entry holds the device tensors of one
+        # encode dispatch plus the (row, request_id) pairs still waiting for
+        # a slot — a batch can be admitted PARTIALLY (rows not taken this
+        # round scatter to the out-of-bounds sentinel and are dropped).
+        self._staged: List[Dict[str, Any]] = []
         self._slot_req: List[Optional[int]] = [None] * cfg.max_slots
         self._slot_t = np.zeros(cfg.max_slots, np.int32)
         # Ring-buffer histories: every slot writes at ONE shared scalar ring
@@ -455,16 +461,71 @@ class TranslationEngine:
 
     @property
     def pending(self) -> int:
-        return len(self._queue)
+        return len(self._queue) + sum(
+            len(b["pending"]) for b in self._staged
+        )
 
     @property
     def active_slots(self) -> int:
         return sum(r is not None for r in self._slot_req)
 
+    def _stage(self):
+        """Pre-encode queued sentences into device-resident admission
+        batches (up to ``cfg.stage_ahead`` of them), regardless of slot
+        availability — the encode dispatch overlaps the running decode
+        chunk, and a later :meth:`_admit` becomes a single scatter."""
+        cfg = self.cfg
+        a = cfg.admit_batch
+        while self._queue and len(self._staged) < cfg.stage_ahead:
+            take = min(len(self._queue), a)
+            src = np.full((a, cfg.max_src_len), PAD, np.int32)
+            src[:, 0] = BOS  # harmless filler rows; never admitted
+            lens = np.ones(a, np.int32)
+            pending = []
+            for j in range(take):
+                rid, arr, n = self._queue.pop(0)
+                src[j], lens[j] = arr, n
+                pending.append((j, rid))
+            tensors = self._encode(jnp.asarray(src), jnp.asarray(lens))
+            self._staged.append({"tensors": tensors, "pending": pending})
+
+    def _book_admissions(self, admitted):
+        t = self._slot_t.copy()  # copy-on-write, see step()
+        g0 = self._slot_g0.copy()
+        for slot, rid in admitted:
+            self._slot_req[slot] = rid
+            t[slot] = 0
+            # the slot's ring window starts at the next inner step
+            g0[slot] = self.steps_run % self._t_hist
+        self._slot_t = t
+        self._slot_g0 = g0
+
     def _admit(self):
         cfg = self.cfg
         a = cfg.admit_batch
         free = [i for i, r in enumerate(self._slot_req) if r is None]
+        # staged (pre-encoded) batches first — FIFO is preserved because
+        # _stage pops from the queue front and batches admit in order; a
+        # partially-admitted batch keeps its remaining rows staged (rows not
+        # taken carry the sentinel and their scatters drop)
+        while self._staged and free:
+            batch = self._staged[0]
+            pending = batch["pending"]
+            take = min(len(pending), len(free))
+            slots = np.full(a, cfg.max_slots, np.int32)
+            admitted = []
+            for _ in range(take):
+                row, rid = pending.pop(0)
+                slot = free.pop(0)
+                slots[row] = slot
+                admitted.append((slot, rid))
+            keys, enc_out, enc_mask, st = batch["tensors"]
+            self._grid = self._insert_many(
+                self._grid, jnp.asarray(slots), keys, enc_out, enc_mask, st
+            )
+            self._book_admissions(admitted)
+            if not pending:
+                self._staged.pop(0)
         while self._queue and free:
             take = min(len(self._queue), len(free), a)
             src = np.full((a, cfg.max_src_len), PAD, np.int32)
@@ -484,15 +545,7 @@ class TranslationEngine:
             self._grid = self._insert_many(
                 self._grid, jnp.asarray(slots), keys, enc_out, enc_mask, st
             )
-            t = self._slot_t.copy()  # copy-on-write, see step()
-            g0 = self._slot_g0.copy()
-            for slot, rid in admitted:
-                self._slot_req[slot] = rid
-                t[slot] = 0
-                # the slot's ring window starts at the next inner step
-                g0[slot] = self.steps_run % self._t_hist
-            self._slot_t = t
-            self._slot_g0 = g0
+            self._book_admissions(admitted)
 
     def step(self, chunk_steps: Optional[int] = None) -> List[Completion]:
         """Admit pending work, run one decode chunk, pop completed slots.
@@ -512,6 +565,7 @@ class TranslationEngine:
                 "slots from garbage; build a fresh TranslationEngine to serve"
             )
         self._admit()
+        self._stage()  # pre-encode next arrivals; overlaps the chunk below
         active = np.array([r is not None for r in self._slot_req])
         if not active.any():
             return []

@@ -204,6 +204,51 @@ class TestEngineEquivalence:
         assert out and out[0].request_id == rid
         np.testing.assert_array_equal(out[0].tokens, ref[0])
 
+    @pytest.mark.parametrize("stage_ahead", [1, 2])
+    def test_admit_ahead_staging_equivalence(self, setup, stage_ahead):
+        # load smoothing (round-4 verdict item 2): with stage_ahead > 0,
+        # queued sentences are pre-encoded while slots are busy and admitted
+        # by a single scatter — results must be identical to the unstaged
+        # engine for any arrival pattern, including partial-batch admission
+        # (more staged rows than free slots).
+        m, v, sents, ref = setup
+        cfg = ServeConfig(
+            max_slots=3, max_src_len=16, max_tgt_len=12,
+            beam=BeamConfig(beam_size=3, max_len=12),
+            admit_batch=4, stage_ahead=stage_ahead,
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids, res = {}, {}
+        # burst larger than slots+admit_batch: forces staging across chunks
+        arrival = {0: [0, 1, 2, 3, 4, 5, 6, 7], 5: [8, 9, 10]}
+        step = 0
+        while len(res) < len(sents):
+            for i in arrival.get(step, []):
+                rids[eng.submit(sents[i])] = i
+            for c in eng.step():
+                res[c.request_id] = c
+            step += 1
+            assert step < 200
+        for rid, i in rids.items():
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
+    def test_staged_pending_counts_and_drain(self, setup):
+        m, v, sents, ref = setup
+        cfg = ServeConfig(
+            max_slots=2, max_src_len=16, max_tgt_len=12,
+            beam=BeamConfig(beam_size=3, max_len=12),
+            admit_batch=2, stage_ahead=2,
+        )
+        eng = TranslationEngine(m, v, cfg)
+        rids = [eng.submit(s) for s in sents[:7]]
+        eng.step()  # admits 2, stages up to 4, leaves 1 queued
+        assert eng.active_slots == 2
+        assert eng.pending == 5  # staged + queued both count
+        res = {c.request_id: c for c in eng.run_until_drained()}
+        assert len(res) == 7
+        for i, rid in enumerate(rids):
+            np.testing.assert_array_equal(res[rid].tokens, ref[i])
+
     def test_coverage_penalty_engine_matches_offline(self, setup):
         # GNMT coverage penalty in the ENGINE (round-4 verdict item 4): the
         # grid's [S, K, T_src] coverage accumulator — reset on admission,
