@@ -13,6 +13,7 @@ from .beam import (
     greedy_decode,
     init_beam_state,
     length_penalty,
+    reconstruct_attention,
     reconstruct_tokens,
     step_beams,
     step_beams_cand,
@@ -36,6 +37,7 @@ __all__ = [
     "greedy_decode",
     "init_beam_state",
     "length_penalty",
+    "reconstruct_attention",
     "reconstruct_tokens",
     "step_beams",
     "step_beams_cand",

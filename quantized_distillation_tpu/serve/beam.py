@@ -76,6 +76,12 @@ class BeamState(NamedTuple):
     # Accumulated attention over source positions [B, K, T_src]; present
     # (non-None) only when the caller enables the coverage penalty.
     coverage: Optional[jnp.ndarray] = None
+    # Per-step attention HISTORY [T_max, B*K, T_src] (time-major like
+    # sym/parent; backtraced by the same parent chain) — present only when
+    # the caller asks for per-hypothesis attention (the reference
+    # onmt/Translator.py returns it with the n-best list). Offline-path
+    # feature: the serving engine never allocates it.
+    attn: Optional[jnp.ndarray] = None
 
 
 def init_beam_state(
@@ -87,8 +93,11 @@ def init_beam_state(
     bos_id: int = BOS,
     pad_id: int = PAD,
     coverage_len: Optional[int] = None,
+    attn_len: Optional[int] = None,
 ) -> BeamState:
-    """Fresh beam state: only beam 0 alive, histories PAD/identity-filled."""
+    """Fresh beam state: only beam 0 alive, histories PAD/identity-filled.
+    ``attn_len`` (= T_src) allocates the per-step attention history for
+    per-hypothesis attention output."""
     k = beam_size
     return BeamState(
         decoder_state=decoder_state,
@@ -107,6 +116,11 @@ def init_beam_state(
             None
             if coverage_len is None
             else jnp.zeros((batch, k, coverage_len), jnp.float32)
+        ),
+        attn=(
+            None
+            if attn_len is None
+            else jnp.zeros((t_max, batch * k, attn_len), jnp.float32)
         ),
     )
 
@@ -139,6 +153,32 @@ def reconstruct_tokens(
     init = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
     _, toks = jax.lax.scan(step, init, (sym3, par3), reverse=True)
     return jnp.moveaxis(toks, 0, 2)  # [B, K, T]
+
+
+def reconstruct_attention(
+    attn: jnp.ndarray, parent: jnp.ndarray, beam_size: int
+) -> jnp.ndarray:
+    """Backtrace per-step attention histories → ``[B, K, T, T_src]``.
+
+    Same reverse parent walk as :func:`reconstruct_tokens`, gathering the
+    stored ``[B*K, T_src]`` alignment row of whichever slot each final beam
+    occupied at step ``t`` (the reference ``onmt/Translator.py`` builds the
+    per-hypothesis attention list from ``Beam``'s recorded attentions the
+    same way). Rows past a hypothesis' EOS are zeros (written that way)."""
+    t_max, rows, t_src = attn.shape
+    k = beam_size
+    b = rows // k
+    a4 = attn.reshape(t_max, b, k, t_src)
+    par3 = parent.astype(jnp.int32).reshape(t_max, b, k)
+
+    def step(cur, xs):
+        a_t, p_t = xs  # [B, K, T_src], [B, K]
+        row = jnp.take_along_axis(a_t, cur[:, :, None], axis=1)
+        return jnp.take_along_axis(p_t, cur, axis=1), row
+
+    init = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
+    _, rows_t = jax.lax.scan(step, init, (a4, par3), reverse=True)
+    return jnp.moveaxis(rows_t, 0, 2)  # [B, K, T, T_src]
 
 
 def unroll_ring(
@@ -265,13 +305,17 @@ def _advance(
     gather = jax.vmap(lambda a, i: a[i])
     finished = gather(state.finished, parent)
     lengths = gather(state.lengths, parent)
+    align_g = None
+    if align is not None and (
+        state.coverage is not None or state.attn is not None
+    ):
+        # the parent's alignment this step, reordered with it
+        align_g = gather(align.reshape(b, k, -1), parent)
     coverage = state.coverage
     if coverage is not None:
         coverage = gather(coverage, parent)
-        if align is not None:
+        if align_g is not None:
             # attention accrues only while the hypothesis is still emitting
-            # (the parent's alignment this step, reordered with it)
-            align_g = gather(align.reshape(b, k, -1), parent)
             coverage = coverage + jnp.where(
                 finished[..., None], 0.0, align_g.astype(coverage.dtype)
             )
@@ -285,6 +329,12 @@ def _advance(
     # time-major flat: one contiguous lane-aligned [B*K] row per step
     sym = state.sym.at[t].set(emit.reshape(-1))
     par = state.parent.at[t].set(parent.astype(PARENT_DTYPE).reshape(-1))
+    attn_hist = state.attn
+    if attn_hist is not None:
+        # per-step attention history (reference Translator's attn output):
+        # rows past EOS store zeros, matching the PAD tokens they pair with
+        row = jnp.where(finished[..., None], 0.0, align_g)
+        attn_hist = attn_hist.at[t].set(row.reshape(b * k, -1))
     lengths = lengths + jnp.where(finished | (token == eos_id), 0, 1)
     finished = finished | (token == eos_id)
     return BeamState(
@@ -296,6 +346,7 @@ def _advance(
         finished=finished,
         lengths=lengths,
         coverage=coverage,
+        attn=attn_hist,
     )
 
 
@@ -320,7 +371,7 @@ def step_beams(
     """
     b, k = state.scores.shape
     ret = decode_step(state.decoder_state, _flatten_beams(state.last_token))
-    if state.coverage is not None:
+    if state.coverage is not None or state.attn is not None:
         new_dec, logits, align = ret
     else:
         (new_dec, logits), align = ret, None
@@ -364,7 +415,7 @@ def step_beams_cand(
     """
     b, k = state.scores.shape
     ret = decode_cand(state.decoder_state, _flatten_beams(state.last_token))
-    if state.coverage is not None:
+    if state.coverage is not None or state.attn is not None:
         new_dec, (vals, idx, lse), align = ret
     else:
         (new_dec, (vals, idx, lse)), align = ret, None
@@ -423,7 +474,8 @@ def beam_decode(
     pad_id: int = PAD,
     candidates: bool = False,
     coverage_len: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_attention: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
 
     ``decode_step(state [B*K,...], tokens [B*K]) -> (state, logits [B*K, V])``
@@ -431,13 +483,17 @@ def beam_decode(
     (:mod:`.infer`) — the beam bookkeeping is identical. With
     ``candidates=True`` the decoder returns per-beam top-k candidates
     ``(vals, idx, lse)`` instead of logits (fused-kernel serving path).
-    When ``cfg.coverage_penalty`` is set, pass ``coverage_len`` (= T_src)
-    and a decode_step that returns an extra ``align [B*K, T_src]``.
+    When ``cfg.coverage_penalty`` is set OR ``return_attention`` is on, pass
+    ``coverage_len`` (= T_src) and a decode_step that returns an extra
+    ``align [B*K, T_src]``.
 
     Returns the best hypothesis per sentence — ``(tokens [B, T], score [B])``
     — when ``cfg.n_best == 1``, or the top ``n_best`` hypotheses sorted by
     normalized score — ``(tokens [B, n_best, T], scores [B, n_best])`` — when
     ``cfg.n_best > 1`` (the reference's ``onmt/Translator.py`` n-best list).
+    With ``return_attention`` a third element carries each returned
+    hypothesis' per-step source attention — ``[B, T, T_src]`` /
+    ``[B, n_best, T, T_src]`` (the reference Translator's ``attn`` output).
     """
     if not (1 <= cfg.n_best <= cfg.beam_size):
         raise ValueError(
@@ -445,11 +501,14 @@ def beam_decode(
         )
     if cfg.coverage_penalty != 0.0 and coverage_len is None:
         raise ValueError("cfg.coverage_penalty requires coverage_len (T_src)")
+    if return_attention and coverage_len is None:
+        raise ValueError("return_attention requires coverage_len (T_src)")
     k = cfg.beam_size
     init = init_beam_state(
         dec_state_beams, batch, k, cfg.max_len,
         bos_id=bos_id, pad_id=pad_id,
         coverage_len=coverage_len if cfg.coverage_penalty != 0.0 else None,
+        attn_len=coverage_len if return_attention else None,
     )
 
     stepper = step_beams_cand if candidates else step_beams
@@ -465,12 +524,19 @@ def beam_decode(
     final, _ = jax.lax.scan(scan_body, init, jnp.arange(cfg.max_len))
     norm = finalize_scores(final, cfg)
     tokens = reconstruct_tokens(final.sym, final.parent, k)
+    attn = (
+        reconstruct_attention(final.attn, final.parent, k)
+        if return_attention
+        else None
+    )
     take = jax.vmap(lambda a, i: a[i])
     if cfg.n_best == 1:
         best = jnp.argmax(norm, axis=1)  # [B]
-        return take(tokens, best), take(norm, best)
+        out = (take(tokens, best), take(norm, best))
+        return out + ((take(attn, best),) if attn is not None else ())
     top_scores, order = jax.lax.top_k(norm, cfg.n_best)  # [B, n]
-    return take(tokens, order), top_scores
+    out = (take(tokens, order), top_scores)
+    return out + ((take(attn, order),) if attn is not None else ())
 
 
 def beam_search(
@@ -483,11 +549,14 @@ def beam_search(
     bos_id: int = BOS,
     eos_id: int = EOS,
     pad_id: int = PAD,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_attention: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Translate a batch: → (best tokens [B, max_len], best scores [B]).
 
     Encode once per sentence, expand encoder outputs across beams, then scan
     ``max_len`` decode steps (reference hot loop 3.4, now one XLA program).
+    ``return_attention`` appends each hypothesis' per-step source attention
+    (reference ``onmt/Translator.py`` attn output) — see :func:`beam_decode`.
     """
     b = src.shape[0]
     k = cfg.beam_size
@@ -498,7 +567,7 @@ def beam_search(
     enc_mask_b = jnp.repeat(enc_mask, k, axis=0)
     dec_state_b = expand_to_beams(dec_state, k)
 
-    if cfg.coverage_penalty != 0.0:
+    if cfg.coverage_penalty != 0.0 or return_attention:
 
         def decode_step(state, tokens):
             return model.apply(
@@ -518,6 +587,7 @@ def beam_search(
         decode_step, dec_state_b, b, cfg,
         bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
         coverage_len=enc_out.shape[1],
+        return_attention=return_attention,
     )
 
 

@@ -353,13 +353,16 @@ def beam_search_packed(
     cfg: BeamConfig,
     *,
     fused_topk: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_attention: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Beam search driven by the packed decode step (serving entry point).
 
     ``fused_topk`` selects the candidate-based beam core fed by the fused
     dequant+matmul+top-k generator kernel; default: on whenever the beam
     fits the kernel (beam_size <= 8 — it always does for reference-parity
-    beams; onmt used beam 5).
+    beams; onmt used beam 5). ``return_attention`` appends per-hypothesis
+    attention (reference Translator attn output) — see
+    :func:`.beam.beam_decode`.
     """
     b, k = src.shape[0], cfg.beam_size
     if fused_topk is None:
@@ -369,7 +372,7 @@ def beam_search_packed(
     # folds the beam factor into the attention batch, cutting its per-step
     # HBM read by ~k
     state_b = expand_to_beams(state, k)
-    with_align = cfg.coverage_penalty != 0.0
+    with_align = cfg.coverage_penalty != 0.0 or return_attention
     cov_len = enc_out.shape[1]
 
     if fused_topk:
@@ -381,7 +384,8 @@ def beam_search_packed(
             )
 
         return beam_decode(
-            decode_cand, state_b, b, cfg, candidates=True, coverage_len=cov_len
+            decode_cand, state_b, b, cfg, candidates=True,
+            coverage_len=cov_len, return_attention=return_attention,
         )
 
     def decode_step(s, tokens):
@@ -389,4 +393,7 @@ def beam_search_packed(
             dec, s, tokens, keys, enc_out, enc_mask, with_align=with_align
         )
 
-    return beam_decode(decode_step, state_b, b, cfg, coverage_len=cov_len)
+    return beam_decode(
+        decode_step, state_b, b, cfg, coverage_len=cov_len,
+        return_attention=return_attention,
+    )

@@ -243,6 +243,85 @@ class TestCoveragePenalty:
         np.testing.assert_allclose(np.asarray(sf), np.asarray(sp), rtol=1e-5)
 
 
+class TestAttentionOutput:
+    """Per-hypothesis attention with the n-best list (reference
+    onmt/Translator.py returns attn alongside tokens/scores)."""
+
+    def test_shapes_and_rows_are_distributions(self, random_model):
+        m, v, src, src_len = random_model
+        cfg = BeamConfig(beam_size=3, max_len=6)
+        toks, scores, attn = beam_search(
+            m, v, src, src_len, cfg, return_attention=True
+        )
+        assert attn.shape == (2, 6, src.shape[1])
+        a = np.asarray(attn)
+        t = np.asarray(toks)
+        for b in range(2):
+            for step in range(6):
+                row = a[b, step]
+                if t[b, step] == PAD:
+                    # past EOS (or a finished beam): zero attention row
+                    np.testing.assert_allclose(row, 0.0, atol=1e-7)
+                else:
+                    np.testing.assert_allclose(row.sum(), 1.0, rtol=1e-5)
+                    # masked source padding gets (near-)zero mass
+                    sl = int(np.asarray(src_len)[b])
+                    np.testing.assert_allclose(
+                        row[sl:], 0.0, atol=1e-6
+                    )
+
+    def test_tokens_scores_unchanged_by_attention_request(self, random_model):
+        m, v, src, src_len = random_model
+        cfg = BeamConfig(beam_size=3, max_len=6)
+        t0, s0 = beam_search(m, v, src, src_len, cfg)
+        t1, s1, _ = beam_search(
+            m, v, src, src_len, cfg, return_attention=True
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+    def test_n_best_attention_follows_hypotheses(self, random_model):
+        # the n-best attention rows must pair with the n-best token rows:
+        # row j of attn is the backtraced attention of hypothesis j
+        m, v, src, src_len = random_model
+        cfg = BeamConfig(beam_size=4, max_len=6, n_best=3)
+        toks, scores, attn = beam_search(
+            m, v, src, src_len, cfg, return_attention=True
+        )
+        assert attn.shape == (2, 3, 6, src.shape[1])
+        t = np.asarray(toks)
+        a = np.asarray(attn)
+        for b in range(2):
+            for j in range(3):
+                live = t[b, j] != PAD
+                np.testing.assert_allclose(
+                    a[b, j][live].sum(-1), 1.0, rtol=1e-5
+                )
+                np.testing.assert_allclose(a[b, j][~live], 0.0, atol=1e-7)
+
+    def test_packed_attention_matches_flax(self, random_model):
+        from quantized_distillation_tpu.serve import (
+            beam_search_packed, pack_decoder,
+        )
+
+        m, v, src, src_len = random_model
+        cfg = BeamConfig(beam_size=3, max_len=6)
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        t_f, _, a_f = beam_search(
+            m, v, src, src_len, cfg, return_attention=True
+        )
+        t_p, _, a_p = beam_search_packed(
+            m, v, dec, src, src_len, cfg, return_attention=True
+        )
+        if (np.asarray(t_f) == np.asarray(t_p)).all():
+            # same trajectory (8-bit noise may flip ties): attention agrees
+            np.testing.assert_allclose(
+                np.asarray(a_f), np.asarray(a_p), atol=5e-3
+            )
+
+
 class TestBLEU:
     def test_perfect_match(self):
         h = [["a", "b", "c", "d"], ["x", "y", "z", "w"]]
