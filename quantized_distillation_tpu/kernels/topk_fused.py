@@ -101,10 +101,10 @@ def _topk_kernel(
     k,
     n_steps,
     slots,
-    streams,
     lse_shift,
     select_dtype,
     certify,
+    probe,
 ):
     """Inputs per grid step j:
 
@@ -143,11 +143,16 @@ def _topk_kernel(
 
     @pl.when(j == 0)
     def _init():
-        vs_s[:] = jnp.full((m, streams * slots * LANES), NEG, select_dtype)
-        is_s[:] = jnp.zeros((m, streams * slots * LANES), jnp.int32)
-        se_s[:] = jnp.zeros((m, streams * LANES), jnp.float32)
+        vs_s[:] = jnp.full((m, slots * LANES), NEG, select_dtype)
+        is_s[:] = jnp.zeros((m, slots * LANES), jnp.int32)
+        se_s[:] = jnp.zeros((m, LANES), jnp.float32)
         if certify:
-            disc_s[:] = jnp.full((m, streams * LANES), NEG, select_dtype)
+            disc_s[:] = jnp.full((m, LANES), NEG, select_dtype)
+        if probe == "nodots":
+            # select stream alone: the tiles are never written — zero them
+            # once so the stream consumes deterministic values
+            acc_a[:] = jnp.zeros((m, BUCKET), jnp.float32)
+            acc_b[:] = jnp.zeros((m, BUCKET), jnp.float32)
 
     x = x_ref[:]
     xc = x.astype(compute_dtype)
@@ -182,26 +187,19 @@ def _topk_kernel(
             precision=_dot_precision(compute_dtype),
         )
 
-    # running select state, loaded once per grid step. Layout: stream-major —
-    # stream st's slot t lives at lane block [st*slots + t]. With streams > 1
-    # consecutive chunks go to INDEPENDENT survivor sets, which cuts the
-    # serial compare->select dependency chain between chunks by the stream
-    # factor (the VPU stream is latency-, not throughput-bound: slots=1 ~
-    # slots=2 measured); the sets union at finalize, so per-lane-class
-    # exactness properties are unchanged (>= slots survivors per class).
+    # running select state, loaded once per grid step: slot t's survivors
+    # live at lane block t. (A round-4 `streams` knob split consecutive
+    # chunks across independent survivor sets to shorten the serial
+    # compare chain; it measured SLOWER everywhere — 173.0 vs 110.7 µs,
+    # the extra live select state spills — and was deleted; BASELINE.md
+    # round 4 keeps the record.)
     def blk(i):
         return slice(i * LANES, (i + 1) * LANES)
 
-    vs = [
-        [vs_s[:, blk(st * slots + t)] for t in range(slots)]
-        for st in range(streams)
-    ]
-    iv = [
-        [is_s[:, blk(st * slots + t)] for t in range(slots)]
-        for st in range(streams)
-    ]
-    se = [se_s[:, blk(st)] for st in range(streams)]
-    disc = [disc_s[:, blk(st)] for st in range(streams)] if certify else None
+    vs = [vs_s[:, blk(t)] for t in range(slots)]
+    iv = [is_s[:, blk(t)] for t in range(slots)]
+    se = se_s[:]
+    disc = disc_s[:] if certify else None
     # the row shift is stored lane-broadcast (Mosaic lane blocks must be
     # 128-wide); every lane carries the same value
     shift = shift_s[:] if lse_shift else None
@@ -212,12 +210,11 @@ def _topk_kernel(
     CLAMP = 70.0  # fixed-shift lse: exp arg cap (see dequant_matmul_topk)
 
     def select_bucket(b):
-        nonlocal disc, shift
+        nonlocal disc, shift, se
         tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
         off_b = off[:, b : b + 1]
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
-            st = (b * tpb + tt) % streams
             v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
                 off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
             )
@@ -227,6 +224,14 @@ def _topk_kernel(
                 # when the caller neg-bias-masked the padding instead (see
                 # serve.sharded.pack_generator_sharded).
                 v = jnp.where(lane + chunk * LANES < n_true, v, NEG)
+            if probe == "noselect":
+                # decomposition probe: dots + the cheapest possible
+                # consumption (one running max per chunk keeps every tile
+                # live — Mosaic cannot dead-store the dot) and NOTHING else:
+                # no lse, no indices, no ripple. The measured time is the
+                # MXU/dequant side of the kernel in isolation.
+                vs[0] = jnp.maximum(vs[0], v.astype(select_dtype))
+                continue
             if lse_shift and b == 0 and tt == 0:
                 # grid step 0's first chunk pins the row shift (a real logit
                 # of the row, so the row sum-of-exp is always >= 1)
@@ -241,69 +246,72 @@ def _topk_kernel(
             # compares/ripple in bf16 halve vector-register pressure; the
             # lse always consumes the f32 logits
             vsel = v if select_dtype == jnp.float32 else v.astype(select_dtype)
-            upd = vsel > vs[st][0]
-            winner = jnp.maximum(vsel, vs[st][0])
-            loser = jnp.minimum(vsel, vs[st][0])
+            upd = vsel > vs[0]
+            winner = jnp.maximum(vsel, vs[0])
+            loser = jnp.minimum(vsel, vs[0])
             if lse_shift:
                 # fixed-shift streaming sum: no rescale selects, and the
                 # se chain is a bare add (shorter critical path)
-                se[st] = se[st] + jnp.exp(jnp.minimum(v - shift, CLAMP))
+                se = se + jnp.exp(jnp.minimum(v - shift, CLAMP))  # noqa: F823
             else:
                 # slot 0 doubles as the per-lane max for the streaming
                 # logsumexp: loser - winner, so ONE exp covers both branches:
                 #   upd:   se*exp(old_max - new_max) + exp(0)      = se*e + 1
                 #   !upd:  se*exp(0)                + exp(v - max) = se + e
                 e = jnp.exp(loser - winner)
-                se[st] = se[st] * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
-            cur_i = jnp.where(upd, iv[st][0], chunk)
-            iv[st][0] = jnp.where(upd, chunk, iv[st][0])
-            vs[st][0] = winner
+                se = se * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
+            cur_i = jnp.where(upd, iv[0], chunk)
+            iv[0] = jnp.where(upd, chunk, iv[0])
+            vs[0] = winner
             cur_v = loser
             # the displaced value ripples down the remaining slots
             for s_ in range(1, slots):
-                u = cur_v > vs[st][s_]
-                nv = jnp.maximum(cur_v, vs[st][s_])
-                ni = jnp.where(u, cur_i, iv[st][s_])
-                cur_v = jnp.minimum(cur_v, vs[st][s_])
-                cur_i = jnp.where(u, iv[st][s_], cur_i)
-                vs[st][s_], iv[st][s_] = nv, ni
+                u = cur_v > vs[s_]
+                nv = jnp.maximum(cur_v, vs[s_])
+                ni = jnp.where(u, cur_i, iv[s_])
+                cur_v = jnp.minimum(cur_v, vs[s_])
+                cur_i = jnp.where(u, iv[s_], cur_i)
+                vs[s_], iv[s_] = nv, ni
             # cur_v fell out of the kept set: certificate bound (when off,
             # the dangling cur_v/cur_i of the last ripple are dead code)
             if certify:
-                disc[st] = jnp.maximum(disc[st], cur_v)
+                disc = jnp.maximum(disc, cur_v)
 
-    # software pipeline: issue dot(b) on the MXU, then stream select(b-1)
-    # on the VPU while it runs
-    bucket_dot(0)
-    for b in range(1, group):
-        bucket_dot(b)
-        select_bucket(b - 1)
-    select_bucket(group - 1)
+    if probe == "nodots":
+        # decomposition probe: the select/lse stream alone, consuming the
+        # zeroed tiles — no MXU dots, no dequant
+        for b in range(group):
+            select_bucket(b)
+    else:
+        # software pipeline: issue dot(b) on the MXU, then stream
+        # select(b-1) on the VPU while it runs
+        bucket_dot(0)
+        for b in range(1, group):
+            bucket_dot(b)
+            select_bucket(b - 1)
+        select_bucket(group - 1)
 
-    for st in range(streams):
-        for t in range(slots):
-            vs_s[:, blk(st * slots + t)] = vs[st][t]
-            is_s[:, blk(st * slots + t)] = iv[st][t]
-        se_s[:, blk(st)] = se[st]
-        if certify:
-            disc_s[:, blk(st)] = disc[st]
+    for t in range(slots):
+        vs_s[:, blk(t)] = vs[t]
+        is_s[:, blk(t)] = iv[t]
+    se_s[:] = se
+    if certify:
+        disc_s[:] = disc
     if lse_shift:
         shift_s[:] = shift
 
-    # ---- last step: pop global top-k from the [M, streams*slots*128]
+    # ---- last step: pop global top-k from the [M, slots*128]
     # survivor union
     @pl.when(j == n_steps - 1)
     def _finalize():
-        flat_vs = [vs[st][t] for st in range(streams) for t in range(slots)]
-        flat_iv = [iv[st][t] for st in range(streams) for t in range(slots)]
         # finalize runs in f32 regardless of select_dtype (a [M, wide] bf16
         # eq-compare trips a Mosaic relayout bug, and the pop loop is a
         # once-per-call cost); bf16 survivors keep their rounded values
-        cand = jnp.concatenate(flat_vs, axis=1).astype(jnp.float32)
-        width = streams * slots * LANES
+        cand = jnp.concatenate(vs, axis=1).astype(jnp.float32)
+        width = slots * LANES
         pos_iota = jax.lax.broadcasted_iota(jnp.int32, (m, width), 1)
         # survivors carry chunk ids; vocab id = chunk*128 + lane class
-        cidx = jnp.concatenate(flat_iv, axis=1) * LANES + pos_iota % LANES
+        cidx = jnp.concatenate(iv, axis=1) * LANES + pos_iota % LANES
         out_lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
         buf_v = jnp.full((m, LANES), NEG, jnp.float32)
         buf_i = jnp.zeros((m, LANES), jnp.int32)
@@ -325,8 +333,7 @@ def _topk_kernel(
         # discarded value could not have displaced the k-th selection
         if certify:
             row_disc = jnp.max(
-                jnp.concatenate(disc, axis=1).astype(jnp.float32),
-                axis=1, keepdims=True,
+                disc.astype(jnp.float32), axis=1, keepdims=True
             )  # [M, 1]
             out_cert[:] = jnp.broadcast_to(
                 (kth > row_disc).astype(jnp.int32), (m, LANES)
@@ -334,24 +341,15 @@ def _topk_kernel(
         else:
             out_cert[:] = jnp.zeros((m, LANES), jnp.int32)
         if lse_shift:
-            # all streams share one shift: lse = shift + log(sum of exps)
-            total = sum(
-                jnp.sum(se[st], axis=1, keepdims=True) for st in range(streams)
-            )
             out_lse[:] = jnp.broadcast_to(
-                shift + jnp.log(total), (m, LANES)
+                shift + jnp.log(jnp.sum(se, axis=1, keepdims=True)), (m, LANES)
             )
         else:
-            # exact lse: per-stream per-lane (max, sumexp) -> row
-            row_m = jnp.max(
-                jnp.concatenate([vs[st][0] for st in range(streams)], axis=1),
+            # exact lse: per-lane (max, sumexp) -> row
+            row_m = jnp.max(vs[0].astype(jnp.float32), axis=1, keepdims=True)
+            total = jnp.sum(
+                se * jnp.exp(vs[0].astype(jnp.float32) - row_m),
                 axis=1, keepdims=True,
-            )  # [M, 1]
-            total = sum(
-                jnp.sum(
-                    se[st] * jnp.exp(vs[st][0] - row_m), axis=1, keepdims=True
-                )
-                for st in range(streams)
             )
             out_lse[:] = jnp.broadcast_to(row_m + jnp.log(total), (m, LANES))
 
@@ -390,8 +388,8 @@ def pick_generator_group(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "compute_dtype", "interpret", "use_pallas", "slots", "streams",
-        "lse_shift", "select_dtype", "certify",
+        "k", "compute_dtype", "interpret", "use_pallas", "slots",
+        "lse_shift", "select_dtype", "certify", "probe",
     ),
 )
 def dequant_matmul_topk(
@@ -403,10 +401,10 @@ def dequant_matmul_topk(
     interpret: bool = False,
     use_pallas: bool = True,
     slots: int = 2,
-    streams: int = 1,
     lse_shift: bool = False,
     select_dtype=jnp.float32,
     certify: bool = False,
+    probe: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
     indices [M, k] i32, logsumexp [M, 1] f32) without materializing logits.
@@ -421,12 +419,6 @@ def dequant_matmul_topk(
     Latency knobs (identical selection semantics, A/B via
     scripts/kernel_probe.py):
 
-    - ``streams``: interleave consecutive vocab chunks across this many
-      INDEPENDENT survivor sets (unioned at finalize), cutting the serial
-      compare->select chain between chunks by the stream factor. Per-lane-
-      class exactness is preserved (each class still keeps >= ``slots``
-      survivors, split across streams); the certificate accounts for all
-      streams' discard bounds.
     - ``lse_shift``: replace the streaming-max logsumexp rescale with a
       fixed per-row shift pinned from the row's first 128 logits. The sum
       of exps is then always >= 1 (the shift is itself a row logit), so no
@@ -445,18 +437,28 @@ def dequant_matmul_topk(
       measured round 4), so this knob currently only runs in interpret
       mode / on TPU generations with native bf16 compare — kept for them,
       semantics locked by tests.
+
+    A round-4 ``streams`` knob (independent survivor sets per chunk stride)
+    measured slower everywhere and was deleted; BASELINE.md round 4 holds
+    the record.
+
+    ``probe`` (MEASUREMENT ONLY — outputs are garbage): ``"noselect"`` runs
+    the dequant+MXU side with a 1-op/chunk consumption and no select/lse;
+    ``"nodots"`` runs the select/lse stream over zeroed tiles with no MXU
+    work. Together they decompose the kernel's MXU/VPU split and overlap
+    factor on real hardware (scripts/kernel_probe.py --probe ...).
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
     if not 1 <= slots <= KMAX:
         raise ValueError(f"slots must be in [1, {KMAX}], got {slots}")
-    if streams not in (1, 2, 4):
-        raise ValueError(f"streams must be 1, 2 or 4, got {streams}")
     if select_dtype not in (jnp.float32, jnp.bfloat16):
         raise ValueError(f"select_dtype must be f32 or bf16, got {select_dtype}")
     if select_dtype == jnp.bfloat16 and not lse_shift:
         raise ValueError("select_dtype=bf16 requires lse_shift (the "
                          "streaming-max lse would inherit bf16 error)")
+    if probe not in (None, "noselect", "nodots"):
+        raise ValueError(f"unknown probe mode {probe!r}")
     if not use_pallas:
         ref = dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
         if certify:
@@ -505,10 +507,10 @@ def dequant_matmul_topk(
         k=k,
         n_steps=n_steps,
         slots=slots,
-        streams=streams,
         lse_shift=lse_shift,
         select_dtype=select_dtype,
         certify=certify,
+        probe=probe,
     )
     if p.points is not None:
         # pts_ref arrives as the 6th input ref, matching _topk_kernel's slot
@@ -532,10 +534,10 @@ def dequant_matmul_topk(
     scratch = [
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # even-bucket logits tile
         pltpu.VMEM((mpad, BUCKET), jnp.float32),  # odd-bucket logits tile
-        pltpu.VMEM((mpad, streams * slots * LANES), select_dtype),  # top-s values
-        pltpu.VMEM((mpad, streams * slots * LANES), jnp.int32),  # top-s chunk ids
-        pltpu.VMEM((mpad, streams * LANES), jnp.float32),  # sum-exp
-        pltpu.VMEM((mpad, streams * LANES), select_dtype),  # discard (certificate)
+        pltpu.VMEM((mpad, slots * LANES), select_dtype),  # top-s values
+        pltpu.VMEM((mpad, slots * LANES), jnp.int32),  # top-s chunk ids
+        pltpu.VMEM((mpad, LANES), jnp.float32),  # sum-exp
+        pltpu.VMEM((mpad, LANES), select_dtype),  # discard (certificate)
         pltpu.VMEM((mpad, LANES), jnp.float32),  # lse row shift (lane-bcast)
     ]
     flops = 2 * mpad * kk * npad

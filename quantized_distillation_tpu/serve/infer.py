@@ -66,13 +66,13 @@ class PackedDecoder(struct.PyTreeNode):
     # >= beam_size = mathematically exact for any logits
     topk_slots: int = struct.field(pytree_node=False, default=2)
     # latency knobs of the fused kernel (see dequant_matmul_topk docstring).
-    # All OFF by default after round-4 step-level A/Bs: lse_shift probes
+    # OFF by default after round-4 step-level A/Bs: lse_shift probes
     # 107.5us vs 110.7us standalone but the FULL decode step measures it
-    # ~1.6% slower (733.2k vs 721.4k tokens/s); streams=2 probes 173us
-    # (live select state spills); store8 is a step-level wash at 2x HBM.
-    # Standalone kernel probes overstate wins because the probe chain
-    # pipelines the next call's weight DMA under the current compute.
-    topk_streams: int = struct.field(pytree_node=False, default=1)
+    # ~1.6% slower (733.2k vs 721.4k tokens/s); store8 is a step-level wash
+    # at 2x HBM; a streams knob lost everywhere and was deleted (BASELINE
+    # round 4 keeps the record). Standalone kernel probes overstate wins
+    # because the probe chain pipelines the next call's weight DMA under
+    # the current compute.
     topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
 
 
@@ -97,7 +97,6 @@ def pack_decoder(
     use_pallas: bool = True,
     generator_group: int = 32,
     topk_slots: int = 2,
-    topk_streams: int = 1,
     topk_lse_shift: bool = False,
     generator_store_bits: Optional[int] = None,
 ) -> PackedDecoder:
@@ -182,7 +181,6 @@ def pack_decoder(
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
         topk_slots=topk_slots,
-        topk_streams=topk_streams,
         topk_lse_shift=topk_lse_shift,
     )
 
@@ -336,7 +334,6 @@ def packed_decode_step_topk(
         compute_dtype=dec.compute_dtype,
         use_pallas=dec.use_pallas,
         slots=dec.topk_slots,
-        streams=dec.topk_streams,
         lse_shift=dec.topk_lse_shift,
     )
     if with_align:

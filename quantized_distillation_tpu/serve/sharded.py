@@ -122,7 +122,6 @@ def shard_decoder(dec: PackedDecoder, mesh: Mesh, gen_kernel, gen_bias) -> Packe
         compute_dtype=dec.compute_dtype,
         use_pallas=dec.use_pallas,
         topk_slots=dec.topk_slots,
-        topk_streams=dec.topk_streams,
         topk_lse_shift=dec.topk_lse_shift,
     )
 
@@ -180,7 +179,6 @@ def make_sharded_decode_step_topk(
             compute_dtype=d.compute_dtype,
             use_pallas=d.use_pallas,
             slots=d.topk_slots,
-            streams=d.topk_streams,
             lse_shift=d.topk_lse_shift,
         )
         shard = jax.lax.axis_index(MODEL_AXIS)

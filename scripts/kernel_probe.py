@@ -32,8 +32,10 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--slots", type=int, default=2)
-    ap.add_argument("--streams", type=int, default=1,
-                    help="independent interleaved select streams (1/2/4)")
+    ap.add_argument("--probe", choices=("noselect", "nodots"), default=None,
+                    help="kernel decomposition: 'noselect' = dequant+MXU "
+                    "side only (1-op/chunk consumption), 'nodots' = the "
+                    "select/lse stream over zeroed tiles (no MXU work)")
     ap.add_argument("--lse-shift", action="store_true",
                     help="fixed-shift lse instead of streaming-max rescale")
     ap.add_argument("--store8", action="store_true",
@@ -189,7 +191,6 @@ def main():
                         attn_h, dec.generator, args.topk,
                         compute_dtype=dec.compute_dtype,
                         slots=args.slots,
-                        streams=dec.topk_streams,
                         lse_shift=dec.topk_lse_shift,
                         interpret=interp,
                     )
@@ -267,8 +268,8 @@ def main():
         def body(x):
             out = dequant_matmul_topk(
                 x, p, args.topk, compute_dtype=jnp.bfloat16,
-                slots=args.slots, streams=args.streams,
-                lse_shift=args.lse_shift,
+                slots=args.slots,
+                lse_shift=args.lse_shift, probe=args.probe,
                 select_dtype=jnp.bfloat16 if args.select_bf16 else jnp.float32,
                 certify=args.certify,
                 interpret=interp,
@@ -306,7 +307,7 @@ def main():
         else "dense+topk+lse" if args.dense
         else "plain" if args.plain
         else f"topk{args.topk}/slots{args.slots}"
-        + (f"/streams{args.streams}" if args.streams > 1 else "")
+        + (f"/probe:{args.probe}" if args.probe else "")
         + ("+lseshift" if args.lse_shift else "")
         + ("+store8" if args.store8 else "")
         + ("+selbf16" if args.select_bf16 else "")

@@ -304,12 +304,12 @@ class TestFusedTopK:
         np.testing.assert_allclose(np.asarray(v8), np.asarray(vr), atol=1e-4)
         np.testing.assert_allclose(np.asarray(lse8), np.asarray(lser), atol=1e-4)
 
-    @pytest.mark.parametrize("streams,lse_shift", [(2, False), (4, False),
-                                                   (1, True), (2, True)])
-    def test_latency_knobs_match_reference(self, rng, streams, lse_shift):
-        """Interleaved select streams and fixed-shift lse are pure latency
-        optimizations: selection results and the lse must stay exact on
-        random (collision-free) inputs, certificates included."""
+    @pytest.mark.parametrize("lse_shift", [False, True])
+    def test_latency_knobs_match_reference(self, rng, lse_shift):
+        """The fixed-shift lse is a pure latency optimization: selection
+        results and the lse must stay exact on random (collision-free)
+        inputs, certificates included. (A round-4 `streams` knob measured
+        slower everywhere and was deleted — BASELINE.md round 4.)"""
         from quantized_distillation_tpu.kernels import (
             dequant_matmul_topk,
             dequant_matmul_topk_reference,
@@ -321,7 +321,7 @@ class TestFusedTopK:
         p = pack_linear(w, 4, bias=bias)
         v, i, lse, cert = dequant_matmul_topk(
             x, p, 5, compute_dtype=jnp.float32, interpret=True,
-            streams=streams, lse_shift=lse_shift, certify=True,
+            lse_shift=lse_shift, certify=True,
         )
         vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
         np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
@@ -329,41 +329,20 @@ class TestFusedTopK:
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
         assert np.asarray(cert).all()
 
-    def test_streams_preserve_adversarial_collision_detection(self, rng):
-        """The per-lane-class failure mode and its certificate must survive
-        stream interleaving (the union across streams still holds >= slots
-        survivors per class)."""
-        from quantized_distillation_tpu.kernels import (
-            dequant_matmul_topk,
-            dequant_matmul_topk_reference,
-        )
+    def test_probe_modes_compile_and_are_marked_garbage(self, rng):
+        """The decomposition probe modes must build and run (they exist to
+        be timed on hardware); their outputs are garbage by contract, so
+        only shapes are checked."""
+        from quantized_distillation_tpu.kernels import dequant_matmul_topk
 
-        n = 1024
-        w = jnp.asarray(0.01 * rng.standard_normal((32, n)).astype(np.float32))
-        x = jnp.asarray(0.01 * rng.standard_normal((4, 32)).astype(np.float32))
-        bias = np.zeros(n, np.float32)
-        # 5 planted top values all in lane class 0, spread across chunks so
-        # stream interleaving splits them between survivor sets
-        for rank, col in enumerate((0, 128, 256, 384, 512)):
-            bias[col] = 10.0 - rank
-        p = pack_linear(w, 8, bias=jnp.asarray(bias))
-        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
-        v, i, lse, cert = dequant_matmul_topk(
-            x, p, 5, compute_dtype=jnp.float32, interpret=True,
-            slots=4, streams=2, lse_shift=True, certify=True,
-        )
-        # 2 streams x 4 slots keep 8 class-0 survivors split 3/2-ish per
-        # stream: the 5 planted values land >= slots apart per stream, so
-        # results stay exact here AND certified
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
-        assert np.asarray(cert).all()
-        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
-        # slots=2, streams=1 on the same input must flag (round-1 test)
-        _, i2, _, c2 = dequant_matmul_topk(
-            x, p, 5, compute_dtype=jnp.float32, interpret=True,
-            slots=2, streams=1, certify=True,
-        )
-        assert not np.asarray(c2).any()
+        w = jnp.asarray(rng.standard_normal((32, 1024)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+        p = pack_linear(w, 4)
+        for mode in ("noselect", "nodots"):
+            v, i, lse = dequant_matmul_topk(
+                x, p, 5, compute_dtype=jnp.float32, interpret=True, probe=mode
+            )
+            assert v.shape == (6, 5) and i.shape == (6, 5)
 
     def test_store8_bit_exact_and_kernel_parity(self, rng):
         """store_bits=8: same 4-bit quantization DECISIONS, one level per
