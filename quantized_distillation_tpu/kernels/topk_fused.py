@@ -75,6 +75,17 @@ KMAX = 8
 NEG = -1e30
 
 
+def _vmem_limit_bytes() -> int:
+    """Mosaic scoped-VMEM limit for the fused kernel (default 32 MB; the
+    Mosaic default of 16 MB is too small for the pipelined body at serving
+    shapes). Overridable via QDT_TOPK_VMEM_MB for operating-point probes —
+    rows=1280 (B=256) needs more headroom at group 16+ (round-4 verdict
+    item 6)."""
+    import os
+
+    return int(os.environ.get("QDT_TOPK_VMEM_MB", "32")) * 1024 * 1024
+
+
 def _topk_kernel(
     x_ref,
     w_ref,
@@ -556,9 +567,10 @@ def dequant_matmul_topk(
         # Mosaic's default scoped-VMEM limit is 16MB; v5e has far more
         # physical VMEM, and the pipelined body (2-deep tile rotation +
         # survivors + temporaries) peaks just above the default at the
-        # serving shape. 32MB keeps generous headroom on the hardware.
+        # serving shape. 32MB (default; see _vmem_limit_bytes) keeps
+        # generous headroom on the hardware.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_bytes()
         ),
         interpret=interpret,
     )(*operands)
