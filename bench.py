@@ -54,6 +54,8 @@ def build(args):
         generator_group=group,
         generator_store_bits=args.gen_store_bits or None,
         topk_lse_shift=bool(args.gen_lse_shift),
+        topk_fold=bool(args.gen_fold),
+        topk_pair=bool(args.gen_pair),
     )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
 
@@ -457,6 +459,14 @@ def main():
     p.add_argument(
         "--gen-lse-shift", type=int, default=0,
         help="fused-kernel fixed-shift lse (0 = serving default) — A/B knob",
+    )
+    p.add_argument(
+        "--gen-fold", type=int, default=0,
+        help="fused-kernel fold: offset+bias ride the MXU dot — A/B knob",
+    )
+    p.add_argument(
+        "--gen-pair", type=int, default=0,
+        help="fused-kernel bucket-pair select — A/B knob",
     )
     p.add_argument(
         "--arrival", default="poisson", choices=("poisson", "smooth"),

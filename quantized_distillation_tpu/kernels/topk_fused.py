@@ -116,6 +116,8 @@ def _topk_kernel(
     select_dtype,
     certify,
     probe,
+    pair,
+    fold,
 ):
     """Inputs per grid step j:
 
@@ -169,12 +171,34 @@ def _topk_kernel(
     xc = x.astype(compute_dtype)
     slab_s = st_ref[0]  # [K, group] — this step's per-bucket scales
     slab_o = ot_ref[0]
-    # offset term for every bucket of this step in one MXU dot: [M, group]
-    off = jnp.dot(
-        x, slab_o,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if fold:
+        # round-5 "fold" restructuring: the per-bucket offset AND the bias
+        # ride the MXU dot itself — the full per-column affine folds into
+        # the weight tile (ws = levels*scale + offset, one [K, 256] VPU
+        # pass replacing the [M, 128] per-chunk adds) and the bias becomes
+        # an extra weight ROW hit by a constant-1 activation column (K
+        # padded by 8 to keep sublane alignment). The streamed tile is then
+        # the FINISHED logits: v-prep drops from 2 [M,128] ops per chunk to
+        # ZERO, which matters because the kernel is VPU-stream-bound
+        # (round-5 decomposition: dots 65.3 us vs stream 106.7 vs full
+        # 105.3 — the MXU is fully hidden under the stream).
+        off = None
+        xc_aug = jnp.concatenate(
+            [
+                xc,
+                jnp.ones((m, 1), compute_dtype),
+                jnp.zeros((m, 7), compute_dtype),
+            ],
+            axis=1,
+        )
+    else:
+        # offset term for every bucket of this step in one MXU dot:
+        # [M, group]
+        off = jnp.dot(
+            x, slab_o,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def bucket_dot(b):
         # writes into one of TWO disjoint tile scratches (even/odd bucket):
@@ -190,8 +214,28 @@ def _topk_kernel(
                 vals = vals + jnp.where(levels == jj, pts_ref[jj], 0.0)
         else:
             vals = levels
-        ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
         tgt = acc_a if b % 2 == 0 else acc_b
+        if fold:
+            ws = (
+                vals * slab_s[:, b : b + 1] + slab_o[:, b : b + 1]
+            ).astype(compute_dtype)
+            bias_rows = jnp.concatenate(
+                [
+                    bias_ref[:, b * BUCKET : (b + 1) * BUCKET].astype(
+                        compute_dtype
+                    ),
+                    jnp.zeros((7, BUCKET), compute_dtype),
+                ],
+                axis=0,
+            )
+            tgt[:] = jnp.dot(
+                xc_aug,
+                jnp.concatenate([ws, bias_rows], axis=0),
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(compute_dtype),
+            )
+            return
+        ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
         tgt[:] = jnp.dot(
             xc, ws,
             preferred_element_type=jnp.float32,
@@ -213,22 +257,96 @@ def _topk_kernel(
     disc = disc_s[:] if certify else None
     # the row shift is stored lane-broadcast (Mosaic lane blocks must be
     # 128-wide); every lane carries the same value
-    shift = shift_s[:] if lse_shift else None
+    shift = shift_s[:] if (lse_shift or pair) else None
     mask_pad = n_true < n_steps * c
     lane = (
         jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1) if mask_pad else None
     )
     CLAMP = 70.0  # fixed-shift lse: exp arg cap (see dequant_matmul_topk)
 
+    def select_bucket_pair(b):
+        """Bucket-pair select (round-5 structural change): ONE survivor
+        update per bucket instead of one per 128-lane chunk.
+
+        The kernel is select/lse-STREAM-bound (measured round 5: dots-only
+        65.3 µs ≈ the dense floor vs stream-only 106.7 µs — the MXU is
+        fully hidden), so the lever is stream op count. Merging the
+        bucket's two chunks with one pairwise max first halves the
+        survivor-update work; the lse runs fixed-shift (the shift pinned
+        from the row's first chunk, exp args clamped — same contract as
+        ``lse_shift``). Exactness: survivor classes become (lane,
+        bucket-pairwise-max) — a top-k element can now also be lost to a
+        same-bucket same-lane rival, adding P ≈ C(k,2)/128² per row on
+        random logits (same order as the slot-collision term); the row max
+        stays exact (max of maxes) and the certificate stays sound because
+        every pairwise LOSER feeds the discard bound.
+        """
+        nonlocal disc, shift, se
+        tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
+        chunk0 = j * (c // LANES) + b * tpb  # scalar id of the even chunk
+        if fold:
+            # offset+bias already rode the dot: the tile IS the logits
+            v0 = tile_b[:, :LANES]
+            v1 = tile_b[:, LANES:]
+        else:
+            off_b = off[:, b : b + 1]
+            v0 = tile_b[:, :LANES] + (off_b + bias_ref[:, (b * tpb) * LANES : (b * tpb + 1) * LANES])
+            v1 = tile_b[:, LANES:] + (off_b + bias_ref[:, (b * tpb + 1) * LANES : (b * tpb + 2) * LANES])
+        if mask_pad:
+            v0 = jnp.where(lane + chunk0 * LANES < n_true, v0, NEG)
+            v1 = jnp.where(lane + (chunk0 + 1) * LANES < n_true, v1, NEG)
+        if b == 0:
+            # grid step 0 pins the row shift (a real logit of the row, so
+            # the row sum-of-exp is always >= 1)
+            shift = jnp.where(
+                j == 0,
+                jnp.broadcast_to(
+                    jnp.max(v0, axis=1, keepdims=True), (m, LANES)
+                ),
+                shift,
+            )
+        se = (
+            se
+            + jnp.exp(jnp.minimum(v0 - shift, CLAMP))
+            + jnp.exp(jnp.minimum(v1 - shift, CLAMP))
+        )
+        upd2 = v1 > v0
+        vmax = jnp.maximum(v0, v1)
+        ci = jnp.where(upd2, chunk0 + 1, chunk0)
+        if certify:
+            # the pairwise loser never enters the survivor set: bound it
+            disc = jnp.maximum(disc, jnp.minimum(v0, v1).astype(select_dtype))
+        vsel = vmax if select_dtype == jnp.float32 else vmax.astype(select_dtype)
+        upd = vsel > vs[0]
+        winner = jnp.maximum(vsel, vs[0])
+        loser = jnp.minimum(vsel, vs[0])
+        cur_i = jnp.where(upd, iv[0], ci)
+        iv[0] = jnp.where(upd, ci, iv[0])
+        vs[0] = winner
+        cur_v = loser
+        for s_ in range(1, slots):
+            u = cur_v > vs[s_]
+            nv = jnp.maximum(cur_v, vs[s_])
+            ni = jnp.where(u, cur_i, iv[s_])
+            cur_v = jnp.minimum(cur_v, vs[s_])
+            cur_i = jnp.where(u, iv[s_], cur_i)
+            vs[s_], iv[s_] = nv, ni
+        if certify:
+            disc = jnp.maximum(disc, cur_v)
+
     def select_bucket(b):
         nonlocal disc, shift, se
         tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
-        off_b = off[:, b : b + 1]
+        off_b = off[:, b : b + 1] if not fold else None
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
-            v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
-                off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
-            )
+            if fold:
+                # offset+bias already rode the dot: the tile IS the logits
+                v = tile_b[:, tt * LANES : (tt + 1) * LANES]
+            else:
+                v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
+                    off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
+                )
             if mask_pad:
                 # grid padding: edge-padded duplicate columns must not win
                 # top-k or inflate the logsumexp. Static branch — skipped
@@ -242,6 +360,27 @@ def _topk_kernel(
                 # no lse, no indices, no ripple. The measured time is the
                 # MXU/dequant side of the kernel in isolation.
                 vs[0] = jnp.maximum(vs[0], v.astype(select_dtype))
+                continue
+            if probe == "lseonly":
+                # stream decomposition: ONLY the logsumexp accumulation.
+                # The fixed-shift flavor is select-independent; the
+                # streaming-max flavor needs its own running max here.
+                if lse_shift:
+                    if b == 0 and tt == 0:
+                        shift = jnp.where(
+                            j == 0,
+                            jnp.broadcast_to(
+                                jnp.max(v, axis=1, keepdims=True), (m, LANES)
+                            ),
+                            shift,
+                        )
+                    se = se + jnp.exp(jnp.minimum(v - shift, CLAMP))
+                else:
+                    upd = v > vs[0]
+                    winner = jnp.maximum(v, vs[0])
+                    e = jnp.exp(jnp.minimum(v, vs[0]) - winner)
+                    se = se * jnp.where(upd, e, 1.0) + jnp.where(upd, 1.0, e)
+                    vs[0] = winner.astype(select_dtype)
                 continue
             if lse_shift and b == 0 and tt == 0:
                 # grid step 0's first chunk pins the row shift (a real logit
@@ -260,7 +399,9 @@ def _topk_kernel(
             upd = vsel > vs[0]
             winner = jnp.maximum(vsel, vs[0])
             loser = jnp.minimum(vsel, vs[0])
-            if lse_shift:
+            if probe == "nolse":
+                pass  # stream decomposition: select/ripple without the lse
+            elif lse_shift:
                 # fixed-shift streaming sum: no rescale selects, and the
                 # se chain is a bare add (shorter critical path)
                 se = se + jnp.exp(jnp.minimum(v - shift, CLAMP))  # noqa: F823
@@ -288,19 +429,21 @@ def _topk_kernel(
             if certify:
                 disc = jnp.maximum(disc, cur_v)
 
+    sel = select_bucket_pair if (pair and probe is None) else select_bucket
     if probe == "nodots":
         # decomposition probe: the select/lse stream alone, consuming the
         # zeroed tiles — no MXU dots, no dequant
+        stream = select_bucket_pair if pair else select_bucket
         for b in range(group):
-            select_bucket(b)
+            stream(b)
     else:
         # software pipeline: issue dot(b) on the MXU, then stream
         # select(b-1) on the VPU while it runs
         bucket_dot(0)
         for b in range(1, group):
             bucket_dot(b)
-            select_bucket(b - 1)
-        select_bucket(group - 1)
+            sel(b - 1)
+        sel(group - 1)
 
     for t in range(slots):
         vs_s[:, blk(t)] = vs[t]
@@ -308,7 +451,7 @@ def _topk_kernel(
     se_s[:] = se
     if certify:
         disc_s[:] = disc
-    if lse_shift:
+    if lse_shift or pair:
         shift_s[:] = shift
 
     # ---- last step: pop global top-k from the [M, slots*128]
@@ -351,7 +494,7 @@ def _topk_kernel(
             )
         else:
             out_cert[:] = jnp.zeros((m, LANES), jnp.int32)
-        if lse_shift:
+        if lse_shift or pair:
             out_lse[:] = jnp.broadcast_to(
                 shift + jnp.log(jnp.sum(se, axis=1, keepdims=True)), (m, LANES)
             )
@@ -400,7 +543,7 @@ def pick_generator_group(
     jax.jit,
     static_argnames=(
         "k", "compute_dtype", "interpret", "use_pallas", "slots",
-        "lse_shift", "select_dtype", "certify", "probe",
+        "lse_shift", "select_dtype", "certify", "probe", "pair", "fold",
     ),
 )
 def dequant_matmul_topk(
@@ -416,6 +559,8 @@ def dequant_matmul_topk(
     select_dtype=jnp.float32,
     certify: bool = False,
     probe: Optional[str] = None,
+    pair: bool = False,
+    fold: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """x [M, K] @ dequant(p) [K, N] + bias → (top-k values [M, k] f32,
     indices [M, k] i32, logsumexp [M, 1] f32) without materializing logits.
@@ -456,8 +601,14 @@ def dequant_matmul_topk(
     ``probe`` (MEASUREMENT ONLY — outputs are garbage): ``"noselect"`` runs
     the dequant+MXU side with a 1-op/chunk consumption and no select/lse;
     ``"nodots"`` runs the select/lse stream over zeroed tiles with no MXU
-    work. Together they decompose the kernel's MXU/VPU split and overlap
-    factor on real hardware (scripts/kernel_probe.py --probe ...).
+    work; ``"nolse"`` keeps the full select/ripple but drops the lse
+    accumulation; ``"lseonly"`` keeps only the lse accumulation. Together
+    they decompose the kernel's MXU/VPU split, the stream's select-vs-lse
+    split, and the overlap factor on real hardware
+    (scripts/kernel_probe.py --probe ...). Round-5 measurement: the stream
+    BOUNDS the kernel (dots 65.3 us vs stream 106.7 vs full 105.3 at the
+    serving shape) — MXU work is fully hidden; thin the stream to go
+    faster.
     """
     if k > KMAX:
         raise ValueError(f"fused top-k supports k <= {KMAX}, got {k}")
@@ -468,8 +619,11 @@ def dequant_matmul_topk(
     if select_dtype == jnp.bfloat16 and not lse_shift:
         raise ValueError("select_dtype=bf16 requires lse_shift (the "
                          "streaming-max lse would inherit bf16 error)")
-    if probe not in (None, "noselect", "nodots"):
+    if probe not in (None, "noselect", "nodots", "nolse", "lseonly"):
         raise ValueError(f"unknown probe mode {probe!r}")
+    if pair and probe in ("nolse", "lseonly"):
+        raise ValueError("probe nolse/lseonly decompose the chunk stream; "
+                         "use probe='nodots' with pair")
     if not use_pallas:
         ref = dequant_matmul_topk_reference(x, p, k, compute_dtype=compute_dtype)
         if certify:
@@ -522,6 +676,8 @@ def dequant_matmul_topk(
         select_dtype=select_dtype,
         certify=certify,
         probe=probe,
+        pair=pair,
+        fold=fold,
     )
     if p.points is not None:
         # pts_ref arrives as the 6th input ref, matching _topk_kernel's slot

@@ -74,6 +74,12 @@ class PackedDecoder(struct.PyTreeNode):
     # because the probe chain pipelines the next call's weight DMA under
     # the current compute.
     topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
+    # round-5 structural kernel knobs (see kernels.topk_fused): fold =
+    # offset+bias ride the MXU dot (zero per-chunk v-prep); pair = one
+    # survivor update per bucket (pairwise chunk max first). Step-level
+    # A/B via bench.py --gen-fold/--gen-pair.
+    topk_fold: bool = struct.field(pytree_node=False, default=False)
+    topk_pair: bool = struct.field(pytree_node=False, default=False)
 
 
 def _fuse_cell(cell_params: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -98,6 +104,8 @@ def pack_decoder(
     generator_group: int = 32,
     topk_slots: int = 2,
     topk_lse_shift: bool = False,
+    topk_fold: bool = False,
+    topk_pair: bool = False,
     generator_store_bits: Optional[int] = None,
 ) -> PackedDecoder:
     """Trained flax Seq2Seq params → packed inference decoder.
@@ -182,6 +190,8 @@ def pack_decoder(
         use_pallas=use_pallas,
         topk_slots=topk_slots,
         topk_lse_shift=topk_lse_shift,
+        topk_fold=topk_fold,
+        topk_pair=topk_pair,
     )
 
 
@@ -335,6 +345,8 @@ def packed_decode_step_topk(
         use_pallas=dec.use_pallas,
         slots=dec.topk_slots,
         lse_shift=dec.topk_lse_shift,
+        fold=dec.topk_fold,
+        pair=dec.topk_pair,
     )
     if with_align:
         return new_state, cand, align

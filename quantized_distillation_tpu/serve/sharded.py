@@ -123,6 +123,8 @@ def shard_decoder(dec: PackedDecoder, mesh: Mesh, gen_kernel, gen_bias) -> Packe
         use_pallas=dec.use_pallas,
         topk_slots=dec.topk_slots,
         topk_lse_shift=dec.topk_lse_shift,
+        topk_fold=dec.topk_fold,
+        topk_pair=dec.topk_pair,
     )
 
 
@@ -180,6 +182,8 @@ def make_sharded_decode_step_topk(
             use_pallas=d.use_pallas,
             slots=d.topk_slots,
             lse_shift=d.topk_lse_shift,
+            fold=d.topk_fold,
+            pair=d.topk_pair,
         )
         shard = jax.lax.axis_index(MODEL_AXIS)
         idx = idx + shard * local_npad

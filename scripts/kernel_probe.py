@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--topk", type=int, default=5)
     ap.add_argument("--slots", type=int, default=2)
-    ap.add_argument("--probe", choices=("noselect", "nodots"), default=None,
+    ap.add_argument("--probe", choices=("noselect", "nodots", "nolse", "lseonly"), default=None,
                     help="kernel decomposition: 'noselect' = dequant+MXU "
                     "side only (1-op/chunk consumption), 'nodots' = the "
                     "select/lse stream over zeroed tiles (no MXU work)")
@@ -46,6 +46,12 @@ def main():
         "--group", type=int, default=0,
         help="buckets/grid-step; 0 = auto from the kernel's VMEM budget",
     )
+    ap.add_argument("--pair", action="store_true",
+                    help="bucket-pair select (one survivor update per "
+                    "bucket; fixed-shift lse)")
+    ap.add_argument("--fold", action="store_true",
+                    help="fold offset+bias into the MXU dot (ones-row "
+                    "bias; zero per-chunk v-prep)")
     ap.add_argument("--certify", action="store_true")
     ap.add_argument("--plain", action="store_true")
     ap.add_argument(
@@ -268,7 +274,7 @@ def main():
         def body(x):
             out = dequant_matmul_topk(
                 x, p, args.topk, compute_dtype=jnp.bfloat16,
-                slots=args.slots,
+                slots=args.slots, pair=args.pair, fold=args.fold,
                 lse_shift=args.lse_shift, probe=args.probe,
                 select_dtype=jnp.bfloat16 if args.select_bf16 else jnp.float32,
                 certify=args.certify,
@@ -307,6 +313,8 @@ def main():
         else "dense+topk+lse" if args.dense
         else "plain" if args.plain
         else f"topk{args.topk}/slots{args.slots}"
+        + ("/pair" if args.pair else "")
+        + ("/fold" if args.fold else "")
         + (f"/probe:{args.probe}" if args.probe else "")
         + ("+lseshift" if args.lse_shift else "")
         + ("+store8" if args.store8 else "")

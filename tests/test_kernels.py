@@ -329,6 +329,73 @@ class TestFusedTopK:
         np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
         assert np.asarray(cert).all()
 
+    def test_pair_select_matches_reference(self, rng):
+        """Bucket-pair select (round-5 stream thinning): exact selection,
+        indices, fixed-shift lse, and certificate on random inputs."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        w = jnp.asarray(rng.standard_normal((32, 2048)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((6, 32)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(2048).astype(np.float32))
+        p = pack_linear(w, 4, bias=bias)
+        v, i, lse, cert = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            pair=True, certify=True,
+        )
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+        assert np.asarray(cert).all()
+
+    def test_pair_same_bucket_lane_collision_certified(self, rng):
+        """pair adds a failure mode: two top-k values in the SAME bucket's
+        two chunks at the SAME lane — the pairwise max drops one before the
+        survivor set even sees it. The certificate must flag it (the
+        pairwise loser feeds the discard bound), and the row max must stay
+        exact (greedy unaffected)."""
+        from quantized_distillation_tpu.kernels import (
+            dequant_matmul_topk,
+            dequant_matmul_topk_reference,
+        )
+
+        n = 1024
+        w = jnp.asarray(0.01 * rng.standard_normal((32, n)).astype(np.float32))
+        x = jnp.asarray(0.01 * rng.standard_normal((4, 32)).astype(np.float32))
+        bias = np.zeros(n, np.float32)
+        # columns 64 and 192 are lane 64 of chunks 0 and 1 of BUCKET 0:
+        # the pairwise max keeps only one of the two planted values
+        bias[64] = 10.0
+        bias[192] = 9.5
+        for rank, col in enumerate((300, 429, 558)):  # fill the rest of top-5
+            bias[col] = 8.0 - rank
+        p = pack_linear(w, 8, bias=jnp.asarray(bias))
+        vr, ir, lser = dequant_matmul_topk_reference(x, p, 5)
+        v, i, lse, cert = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True,
+            pair=True, certify=True,
+        )
+        # every row must be FLAGGED as possibly inexact...
+        assert not np.asarray(cert).any()
+        # ...and indeed misses the same-bucket-lane runner-up
+        assert not (np.asarray(i) == np.asarray(ir)).all()
+        # greedy (row max) stays exact
+        np.testing.assert_array_equal(
+            np.asarray(i)[:, 0], np.asarray(ir)[:, 0]
+        )
+        # the lse is exact regardless (every value is summed)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lser), atol=1e-4)
+        # the non-pair path keeps both (different chunks -> separate
+        # survivor updates; slots=2 holds two per lane class) and certifies
+        v2, i2, _, c2 = dequant_matmul_topk(
+            x, p, 5, compute_dtype=jnp.float32, interpret=True, certify=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
+        assert np.asarray(c2).all()
+
     def test_probe_modes_compile_and_are_marked_garbage(self, rng):
         """The decomposition probe modes must build and run (they exist to
         be timed on hardware); their outputs are garbage by contract, so
