@@ -172,25 +172,18 @@ def _topk_kernel(
     slab_s = st_ref[0]  # [K, group] — this step's per-bucket scales
     slab_o = ot_ref[0]
     if fold:
-        # round-5 "fold" restructuring: the per-bucket offset AND the bias
-        # ride the MXU dot itself — the full per-column affine folds into
-        # the weight tile (ws = levels*scale + offset, one [K, 256] VPU
-        # pass replacing the [M, 128] per-chunk adds) and the bias becomes
-        # an extra weight ROW hit by a constant-1 activation column (K
-        # padded by 8 to keep sublane alignment). The streamed tile is then
-        # the FINISHED logits: v-prep drops from 2 [M,128] ops per chunk to
-        # ZERO, which matters because the kernel is VPU-stream-bound
-        # (round-5 decomposition: dots 65.3 us vs stream 106.7 vs full
-        # 105.3 — the MXU is fully hidden under the stream).
+        # round-5 "fold" restructuring: the per-bucket offset rides the MXU
+        # dot itself — the affine folds FULLY into the weight tile
+        # (ws = levels*scale + offset, one extra [K, 256] VPU add per
+        # bucket over K=256 rows) — so the streamed chunk needs only the
+        # bias add: per-chunk v-prep halves from 2 [M,128] ops to 1. This
+        # matters because the kernel is VPU-stream-bound (round-5
+        # decomposition: dots 65.3 us vs stream 106.7 vs full 105.3 — the
+        # MXU is fully hidden under the stream). A first fold variant also
+        # folded the BIAS as an extra weight row hit by a ones activation
+        # column; the K+8-shaped dot measured 258 us (Mosaic pathology) and
+        # was dropped — BASELINE round 5.
         off = None
-        xc_aug = jnp.concatenate(
-            [
-                xc,
-                jnp.ones((m, 1), compute_dtype),
-                jnp.zeros((m, 7), compute_dtype),
-            ],
-            axis=1,
-        )
     else:
         # offset term for every bucket of this step in one MXU dot:
         # [M, group]
@@ -219,23 +212,8 @@ def _topk_kernel(
             ws = (
                 vals * slab_s[:, b : b + 1] + slab_o[:, b : b + 1]
             ).astype(compute_dtype)
-            bias_rows = jnp.concatenate(
-                [
-                    bias_ref[:, b * BUCKET : (b + 1) * BUCKET].astype(
-                        compute_dtype
-                    ),
-                    jnp.zeros((7, BUCKET), compute_dtype),
-                ],
-                axis=0,
-            )
-            tgt[:] = jnp.dot(
-                xc_aug,
-                jnp.concatenate([ws, bias_rows], axis=0),
-                preferred_element_type=jnp.float32,
-                precision=_dot_precision(compute_dtype),
-            )
-            return
-        ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
+        else:
+            ws = (vals * slab_s[:, b : b + 1]).astype(compute_dtype)
         tgt[:] = jnp.dot(
             xc, ws,
             preferred_element_type=jnp.float32,
@@ -285,9 +263,9 @@ def _topk_kernel(
         tile_b = (acc_a if b % 2 == 0 else acc_b)[:]
         chunk0 = j * (c // LANES) + b * tpb  # scalar id of the even chunk
         if fold:
-            # offset+bias already rode the dot: the tile IS the logits
-            v0 = tile_b[:, :LANES]
-            v1 = tile_b[:, LANES:]
+            # offset already rode the dot: only the bias add remains
+            v0 = tile_b[:, :LANES] + bias_ref[:, (b * tpb) * LANES : (b * tpb + 1) * LANES]
+            v1 = tile_b[:, LANES:] + bias_ref[:, (b * tpb + 1) * LANES : (b * tpb + 2) * LANES]
         else:
             off_b = off[:, b : b + 1]
             v0 = tile_b[:, :LANES] + (off_b + bias_ref[:, (b * tpb) * LANES : (b * tpb + 1) * LANES])
@@ -341,8 +319,11 @@ def _topk_kernel(
         for tt in range(tpb):
             chunk = j * (c // LANES) + b * tpb + tt  # global chunk id (scalar)
             if fold:
-                # offset+bias already rode the dot: the tile IS the logits
-                v = tile_b[:, tt * LANES : (tt + 1) * LANES]
+                # offset already rode the dot: only the bias add remains
+                v = (
+                    tile_b[:, tt * LANES : (tt + 1) * LANES]
+                    + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
+                )
             else:
                 v = tile_b[:, tt * LANES : (tt + 1) * LANES] + (
                     off_b + bias_ref[:, (b * tpb + tt) * LANES : (b * tpb + tt + 1) * LANES]
