@@ -101,7 +101,8 @@ def train_stage():
         f.write(serialization.to_bytes(state.params))
 
 
-def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
+def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4,
+                  fold=False, pair=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -131,7 +132,7 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
         params = serialization.from_bytes(v0["params"], f.read())
     params = jax.tree.map(jnp.asarray, params)  # numpy -> device arrays
     variables = {"params": params}
-    dec = pack_decoder(params, model.cfg, bits)
+    dec = pack_decoder(params, model.cfg, bits, topk_fold=fold, topk_pair=pair)
     # shared-rounding control: at f32 compute both kernels see (numerically)
     # the same logits, so certificate soundness must hold EXACTLY — any
     # certified mismatch there is a logic bug, not a rounding tie
@@ -156,6 +157,7 @@ def measure_stage(n_seeds=3, max_len=10, beam=5, batch=64, bits=4):
                 fv, fi, _, cert = dequant_matmul_topk(
                     attn_h, d.generator, k,
                     compute_dtype=d.compute_dtype, slots=slots, certify=True,
+                    fold=fold, pair=pair,
                 )
                 # set comparison (ties can permute equal-valued entries)
                 match = (
@@ -319,4 +321,4 @@ if __name__ == "__main__":
              "--vocab", str(VOCAB)],
             env=env, check=True, cwd="/tmp",
         )
-    measure_stage()
+    measure_stage(fold="--fold" in sys.argv, pair="--pair" in sys.argv)
