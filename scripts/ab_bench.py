@@ -195,9 +195,20 @@ def main():
     else:
         loops, unit = build_step(names, args, interp)
 
-    # warm/compile everything first so measurement rounds see no compiles
+    # warm/compile everything first so measurement rounds see no compiles;
+    # a config that fails to compile (e.g. Mosaic VMEM OOM at an operating-
+    # point probe) is dropped and reported, not fatal
+    ok_names = []
     for name in names:
-        float(loops[name](args.lo))
+        try:
+            float(loops[name](args.lo))
+            ok_names.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "config": name,
+                "compile_error": str(e).splitlines()[0][:200],
+            }), flush=True)
+    names = ok_names
     results = {n: [] for n in names}
     for r in range(args.rounds):
         for name in names:
