@@ -134,9 +134,13 @@ def _topk_kernel(
 
     The per-bucket loop is software-pipelined: bucket ``b``'s MXU dot is
     issued BEFORE bucket ``b-1``'s VPU select/lse stream, so Mosaic can run
-    the systolic array and the vector unit concurrently — the round-2 probe
-    showed the select stream (not the matmul) bounds this kernel at 67% of
-    the decode step.
+    the systolic array and the vector unit concurrently. Round-5
+    decomposition (``probe=`` modes, BASELINE.md): the overlap IS achieved
+    — the MXU side alone measures at the dense floor (65.3 µs at the
+    serving shape) and hides completely under the VPU stream (106.7 µs
+    alone ≈ 105.3 full) — so kernel latency == VPU stream op count, which
+    is what ``fold`` (offset into the weight tile; v-prep halves) and
+    ``pair`` (one survivor update per bucket) attack.
 
     Index tracking streams the scalar CHUNK id (vocab = chunk*128 + lane,
     reconstructed at finalize) instead of a per-lane vocab-id vector, saving
