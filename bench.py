@@ -54,7 +54,7 @@ def build(args):
         generator_group=group,
         generator_store_bits=args.gen_store_bits or None,
         topk_lse_shift=bool(args.gen_lse_shift),
-        topk_fold=bool(args.gen_fold),
+        topk_fold=not args.no_gen_fold,
         topk_pair=bool(args.gen_pair),
     )
     cfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
@@ -457,12 +457,12 @@ def main():
         help="generator buckets/grid-step override (0 = auto rule) — A/B knob",
     )
     p.add_argument(
-        "--gen-lse-shift", type=int, default=0,
-        help="fused-kernel fixed-shift lse (0 = serving default) — A/B knob",
+        "--gen-lse-shift", type=int, default=1,
+        help="fused-kernel fixed-shift lse (1 = round-5 serving default)",
     )
     p.add_argument(
-        "--gen-fold", type=int, default=0,
-        help="fused-kernel fold: offset+bias ride the MXU dot — A/B knob",
+        "--no-gen-fold", action="store_true",
+        help="disable the fused-kernel fold (round-5 serving default ON)",
     )
     p.add_argument(
         "--gen-pair", type=int, default=0,

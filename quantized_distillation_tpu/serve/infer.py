@@ -65,20 +65,21 @@ class PackedDecoder(struct.PyTreeNode):
     # 2 = fastest (collisions certifiable, see kernels.topk_fused),
     # >= beam_size = mathematically exact for any logits
     topk_slots: int = struct.field(pytree_node=False, default=2)
-    # latency knobs of the fused kernel (see dequant_matmul_topk docstring).
-    # OFF by default after round-4 step-level A/Bs: lse_shift probes
-    # 107.5us vs 110.7us standalone but the FULL decode step measures it
-    # ~1.6% slower (733.2k vs 721.4k tokens/s); store8 is a step-level wash
-    # at 2x HBM; a streams knob lost everywhere and was deleted (BASELINE
-    # round 4 keeps the record). Standalone kernel probes overstate wins
-    # because the probe chain pipelines the next call's weight DMA under
-    # the current compute.
-    topk_lse_shift: bool = struct.field(pytree_node=False, default=False)
-    # round-5 structural kernel knobs (see kernels.topk_fused): fold =
-    # offset+bias ride the MXU dot (zero per-chunk v-prep); pair = one
-    # survivor update per bucket (pairwise chunk max first). Step-level
-    # A/B via bench.py --gen-fold/--gen-pair.
-    topk_fold: bool = struct.field(pytree_node=False, default=False)
+    # Latency knobs of the fused kernel (see dequant_matmul_topk docstring).
+    # Round-5 serving defaults — set by the INTERLEAVED step-level A/B
+    # (scripts/ab_bench.py --level step, BASELINE round 5): fold+lse_shift
+    # 801.7k tokens/s vs 750.0k base / 792.5k fold+pair / 782.0k fold
+    # alone; group64 lost (694-716k); store8 remains a wash (round 4).
+    # (Round 4 had rejected lse_shift WITHOUT fold — with per-chunk v-prep
+    # gone, the shorter lse chain wins.)
+    topk_lse_shift: bool = struct.field(pytree_node=False, default=True)
+    # fold: the per-bucket offset folds into the weight tile so the
+    # streamed logits tile needs only a bias add — the kernel is
+    # VPU-stream-bound and this halves per-chunk v-prep.
+    topk_fold: bool = struct.field(pytree_node=False, default=True)
+    # pair: one survivor update per bucket (pairwise chunk max first);
+    # measured within noise of fold+lse_shift but adds a same-bucket-lane
+    # collision class — kept OFF as default, available for A/B.
     topk_pair: bool = struct.field(pytree_node=False, default=False)
 
 
@@ -103,8 +104,8 @@ def pack_decoder(
     use_pallas: bool = True,
     generator_group: int = 32,
     topk_slots: int = 2,
-    topk_lse_shift: bool = False,
-    topk_fold: bool = False,
+    topk_lse_shift: bool = True,
+    topk_fold: bool = True,
     topk_pair: bool = False,
     generator_store_bits: Optional[int] = None,
 ) -> PackedDecoder:
