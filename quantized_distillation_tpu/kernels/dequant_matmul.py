@@ -33,6 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .packed import BUCKET, PackedLinear, dequantize_linear
 
 
+def _vmem_limit_bytes() -> int:
+    """Mosaic scoped-VMEM limit for the packed kernels (default 32 MB; the
+    Mosaic default of 16 MB is too small for the pipelined/grouped bodies
+    at serving shapes). Overridable via QDT_TOPK_VMEM_MB for operating-
+    point probes — rows=1280 (B=256) needs more headroom at group 16+."""
+    import os
+
+    return int(os.environ.get("QDT_TOPK_VMEM_MB", "32")) * 1024 * 1024
+
+
 def _dot_precision(compute_dtype):
     """f32 compute requests HIGHEST (3-pass bf16 on the MXU, ~f32 accurate);
     bf16 compute uses the fast default single pass."""
@@ -249,6 +259,13 @@ def dequant_matmul(
             + 8 * p.scale.size
             + 4 * mpad * npad,
             transcendentals=0,
+        ),
+        # Mosaic's default scoped-VMEM limit (16MB) is too small for the
+        # [M, group*256] f32 output block at serving shapes once the
+        # generator group is 32 (e.g. M=320: 22.8MB needed) — raise it like
+        # the fused kernel does (same env override).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()
         ),
         interpret=interpret,
     )(*operands)

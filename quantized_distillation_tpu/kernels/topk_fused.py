@@ -67,23 +67,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dequant_matmul import _dot_precision, _unpack_bucket
+from .dequant_matmul import _dot_precision, _unpack_bucket, _vmem_limit_bytes
 from .packed import BUCKET, PackedLinear, dequantize_linear
 
 LANES = 128
 KMAX = 8
 NEG = -1e30
-
-
-def _vmem_limit_bytes() -> int:
-    """Mosaic scoped-VMEM limit for the fused kernel (default 32 MB; the
-    Mosaic default of 16 MB is too small for the pipelined body at serving
-    shapes). Overridable via QDT_TOPK_VMEM_MB for operating-point probes —
-    rows=1280 (B=256) needs more headroom at group 16+ (round-4 verdict
-    item 6)."""
-    import os
-
-    return int(os.environ.get("QDT_TOPK_VMEM_MB", "32")) * 1024 * 1024
 
 
 def _topk_kernel(
