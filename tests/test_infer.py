@@ -30,6 +30,17 @@ def setup():
 
 
 class TestPackedDecoder:
+    def test_round5_serving_defaults_pinned(self, setup):
+        # The round-5 interleaved step-level A/B set fold+lse_shift as the
+        # serving default (801.7k vs 750.0k tokens/s, BASELINE round 5) —
+        # pin it so a refactor can't silently revert the decision.
+        m, v, _, _ = setup
+        dec = pack_decoder(v["params"], m.cfg, 4, use_pallas=False)
+        assert dec.topk_fold is True
+        assert dec.topk_lse_shift is True
+        assert dec.topk_pair is False
+        assert dec.topk_slots == 2
+
     def test_step_matches_flax_at_8bit(self, setup):
         m, v, src, sl = setup
         dec = pack_decoder(
