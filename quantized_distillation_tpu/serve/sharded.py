@@ -233,13 +233,17 @@ def beam_search_sharded(
     src_len: jnp.ndarray,
     cfg: BeamConfig,
     mesh: Mesh,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    *,
+    return_attention: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Mesh-sharded packed beam search (offline entry point).
 
     ``dec`` must come from :func:`shard_decoder`. Batch × beam rows must
     divide the ``data`` axis; sentences stay whole within a shard
     (B % data == 0 guarantees each shard's rows are whole k-blocks, so beam
-    reordering gathers never cross shards).
+    reordering gathers never cross shards). ``return_attention`` appends
+    per-hypothesis attention (see :func:`.beam.beam_decode`); coverage
+    penalties likewise flow through ``cfg``.
     """
     b, k = src.shape[0], cfg.beam_size
     dp = mesh.shape[DATA_AXIS]
@@ -258,9 +262,16 @@ def beam_search_sharded(
     enc_mask_b = jax.device_put(enc_mask, NamedSharding(mesh, P(DATA_AXIS, None)))
     state_b = jax.tree.map(lambda t: jax.device_put(t, rows), state_b)
 
-    sharded_step = make_sharded_decode_step_topk(dec, mesh, k)
+    with_align = cfg.coverage_penalty != 0.0 or return_attention
+    sharded_step = make_sharded_decode_step_topk(
+        dec, mesh, k, with_align=with_align
+    )
 
     def decode_cand(s, tokens):
         return sharded_step(s, tokens, keys_b, enc_out_b, enc_mask_b)
 
-    return beam_decode(decode_cand, state_b, b, cfg, candidates=True)
+    return beam_decode(
+        decode_cand, state_b, b, cfg, candidates=True,
+        coverage_len=enc_out.shape[1] if with_align else None,
+        return_attention=return_attention,
+    )

@@ -98,6 +98,27 @@ class TestShardedGenerator:
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
 
+    def test_sharded_coverage_and_attention_match_single_device(self, setup):
+        # round-5: coverage penalty + per-hypothesis attention flow through
+        # the sharded step (with_align) identically to the packed path
+        m, v, src, sl, dec = setup
+        mesh = make_mesh(2, 4)
+        sdec = shard_decoder(
+            dec, mesh,
+            v["params"]["generator"]["kernel"],
+            v["params"]["generator"]["bias"],
+        )
+        cfg = BeamConfig(beam_size=3, max_len=8, coverage_penalty=0.4)
+        t1, s1, a1 = beam_search_packed(
+            m, v, dec, src, sl, cfg, fused_topk=True, return_attention=True
+        )
+        t2, s2, a2 = beam_search_sharded(
+            m, v, sdec, src, sl, cfg, mesh, return_attention=True
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
     def test_shard_decoder_preserves_store8_quantization(self, setup):
         """shard_decoder must repack a byte-stored (store_bits=8) decoder at
         its TRUE quant bits — reusing the container bits would silently
