@@ -34,13 +34,16 @@ from .packed import BUCKET, PackedLinear, dequantize_linear
 
 
 def _vmem_limit_bytes() -> int:
-    """Mosaic scoped-VMEM limit for the packed kernels (default 32 MB; the
+    """Mosaic scoped-VMEM limit for the packed kernels (default 48 MB; the
     Mosaic default of 16 MB is too small for the pipelined/grouped bodies
-    at serving shapes). Overridable via QDT_TOPK_VMEM_MB for operating-
-    point probes — rows=1280 (B=256) needs more headroom at group 16+."""
+    at serving shapes, and 32 MB still compile-OOMs rows=1280 at group 16
+    — measured round 5: 48 MB unlocks B=256/group16 at 730.9k tokens/s vs
+    706.5k at group 8, while the B=128 headline numbers are unchanged
+    under 48 MB). v5e has 128 MB physical VMEM. Override via
+    QDT_TOPK_VMEM_MB for probes."""
     import os
 
-    return int(os.environ.get("QDT_TOPK_VMEM_MB", "32")) * 1024 * 1024
+    return int(os.environ.get("QDT_TOPK_VMEM_MB", "48")) * 1024 * 1024
 
 
 def _dot_precision(compute_dtype):
