@@ -61,9 +61,11 @@ def main():
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--gen-group", type=int, default=0)
     ap.add_argument("--gen-store-bits", type=int, default=0)
-    ap.add_argument("--gen-lse-shift", type=int, default=0)
+    ap.add_argument("--gen-lse-shift", type=int, default=1)
     args = ap.parse_args()
     args.quick = False
+    args.no_gen_fold = False  # round-5 serving default
+    args.gen_pair = 0
 
     import bench
 
