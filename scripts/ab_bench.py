@@ -31,7 +31,7 @@ import numpy as np
 
 def parse_cfg(tok: str) -> dict:
     d = dict(fold=False, pair=False, lse_shift=False, store8=False,
-             slots=2, group=0, fp=False)
+             slots=2, group=0, fp=False, cb=False)
     for part in tok.split("+"):
         if part in ("base", ""):
             continue
@@ -49,6 +49,8 @@ def parse_cfg(tok: str) -> dict:
             d["group"] = int(part[5:])
         elif part == "fp":
             d["fp"] = True
+        elif part == "cb":
+            d["cb"] = True  # codebook (diffquant) deploy via requant8
         else:
             raise SystemExit(f"unknown config token {part!r}")
     return d
@@ -138,9 +140,14 @@ def build_step(names, args, interp):
             def decode(s, l):
                 return beam_search(model, variables, s, l, cfg)
         else:
+            points = (
+                jnp.linspace(0.0, 1.0, 1 << args.bits)
+                if c["cb"] else None
+            )
             dec = pack_decoder(
                 variables["params"], model.cfg, args.bits,
                 use_pallas=not interp,
+                points=points,
                 generator_group=c["group"] or auto_group,
                 generator_store_bits=8 if c["store8"] else None,
                 topk_lse_shift=c["lse_shift"],
