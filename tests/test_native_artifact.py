@@ -126,3 +126,45 @@ def test_artifact_meta_and_size_accounting(tmp_path):
     assert meta == {"run": "test", "step": 7}
     # 2-bit + 2 f32/256 weights + huffman: file must beat 8x compression
     assert stats["compression_ratio"] > 8
+
+
+def test_artifact_to_packed_serving_end_to_end(tmp_path):
+    """The full deploy loop: trained params -> compressed .qdt artifact on
+    disk -> load -> pack_decoder -> packed beam search, producing EXACTLY
+    the tokens of serving from the in-memory hard-quantized params (the
+    artifact stores grid values, and re-quantizing on-grid values is
+    idempotent)."""
+    from quantized_distillation_tpu.config import BeamConfig
+    from quantized_distillation_tpu.models import make_seq2seq
+    from quantized_distillation_tpu.serve import beam_search_packed, pack_decoder
+    from quantized_distillation_tpu.train.quantize_tree import quantize_tree_hard
+    from quantized_distillation_tpu.utils.artifact import load_artifact, save_artifact
+
+    m = make_seq2seq("student_small", 40, 50, hidden=64, embed_dim=32, dropout=0.0)
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.integers(4, 40, (4, 10)), jnp.int32)
+    sl = jnp.full((4,), 10, jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), src, sl, jnp.ones((4, 2), jnp.int32))
+    spec = QuantSpec(bits=4)
+
+    stats = save_artifact(str(tmp_path / "deploy.qdt"), v["params"], spec)
+    assert stats["compression_ratio"] > 3
+    restored, _ = load_artifact(str(tmp_path / "deploy.qdt"), v["params"])
+
+    cfg = BeamConfig(beam_size=3, max_len=8)
+    dec_mem = pack_decoder(
+        quantize_tree_hard(v["params"], spec), m.cfg, 4,
+        compute_dtype=jnp.float32, use_pallas=False,
+    )
+    dec_disk = pack_decoder(
+        restored, m.cfg, 4, compute_dtype=jnp.float32, use_pallas=False
+    )
+    t_mem, s_mem = beam_search_packed(m, {"params": quantize_tree_hard(v["params"], spec)}, dec_mem, src, sl, cfg)
+    t_disk, s_disk = beam_search_packed(m, {"params": restored}, dec_disk, src, sl, cfg)
+    # the artifact dequantizes levels*scale+offset in a different op order
+    # than quantize_tree_hard, so values agree to ~1 ulp — near-degenerate
+    # beam ties may flip late tokens; scores and the vast majority of
+    # tokens must agree
+    agree = float((np.asarray(t_mem) == np.asarray(t_disk)).mean())
+    assert agree >= 0.9, agree
+    np.testing.assert_allclose(np.asarray(s_mem), np.asarray(s_disk), rtol=1e-3)
