@@ -198,6 +198,8 @@ def main():
                         compute_dtype=dec.compute_dtype,
                         slots=args.slots,
                         lse_shift=dec.topk_lse_shift,
+                        fold=dec.topk_fold,
+                        pair=dec.topk_pair,
                         interpret=interp,
                     )
                     tok = ix[:, 0]
