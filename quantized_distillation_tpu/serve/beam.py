@@ -289,6 +289,7 @@ def _advance(
     eos_id: int,
     pad_id: int,
     align: Optional[jnp.ndarray] = None,  # [B*K, T_src] pre-reorder attention
+    probe: frozenset = frozenset(),
 ) -> BeamState:
     """Shared beam-advance tail: reorder by parent, record, track EOS/length.
 
@@ -299,9 +300,16 @@ def _advance(
     engine uses a global ring position shared by every slot (each slot's
     history is a contiguous window of ring columns — see
     :func:`unroll_ring`), so the engine never needs per-slot scatter.
+
+    ``probe`` is a PERF-PROBE ONLY knob (scripts/ab_bench.py): named tail
+    components are skipped so their cost can be measured by interleaved
+    A/B. Results are WRONG under any non-empty probe — never set it in
+    production. Tokens: ``nogather`` skips the decoder-state reorder,
+    ``nobook`` skips the history writes + EOS/length bookkeeping.
     """
     b, k = state.scores.shape
-    new_dec = _gather_beams(new_dec, parent, b, k)
+    if "nogather" not in probe:
+        new_dec = _gather_beams(new_dec, parent, b, k)
     gather = jax.vmap(lambda a, i: a[i])
     finished = gather(state.finished, parent)
     lengths = gather(state.lengths, parent)
@@ -325,6 +333,12 @@ def _advance(
         raise ValueError(
             "history position t must be a scalar (engine slots share one "
             "ring position; per-slot windows are unrolled at extraction)"
+        )
+    if "nobook" in probe:  # perf probe: skip history writes + EOS/length
+        return BeamState(
+            decoder_state=new_dec, sym=state.sym, parent=state.parent,
+            last_token=token, scores=new_scores, finished=finished,
+            lengths=lengths, coverage=coverage, attn=state.attn,
         )
     # time-major flat: one contiguous lane-aligned [B*K] row per step
     sym = state.sym.at[t].set(emit.reshape(-1))
@@ -400,6 +414,7 @@ def step_beams_cand(
     beam_size: int,
     eos_id: int = EOS,
     pad_id: int = PAD,
+    probe: frozenset = frozenset(),
 ) -> BeamState:
     """Beam advance from per-beam top-k CANDIDATES instead of full logits.
 
@@ -429,16 +444,27 @@ def step_beams_cand(
     logp = jnp.where(fin, fin_logp, logp)
     cand_tok = jnp.where(fin, eos_id, cand_tok)
     cand = state.scores[..., None] + logp  # [B, K, kc]
-    # lax.top_k, NOT the tempting k-pass iterative argmax: measured at the
-    # full decode step the argmax variant cost +27us/step (627.6k vs 726.1k
-    # tokens/s, BASELINE round 4) — its serial chain of cross-lane
-    # reductions loses badly to XLA's sort even at [B, 25]
-    new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
-    parent = flat_idx // kc
-    token = jnp.take_along_axis(cand_tok.reshape(b, k * kc), flat_idx, axis=1)
+    if "notopk" in probe:
+        # perf probe (results WRONG): slot-0 continuation per beam, with a
+        # data-dependent parent so XLA can't constant-fold the state
+        # gather into an identity copy — measures the top_k + token-take
+        # cost in isolation.
+        new_scores = cand[..., 0]
+        parent = jnp.abs(cand_tok[..., 0]) % k
+        token = cand_tok[..., 0]
+    else:
+        # lax.top_k, NOT the tempting k-pass iterative argmax: measured at
+        # the full decode step the argmax variant cost +27us/step (627.6k
+        # vs 726.1k tokens/s, BASELINE round 4) — its serial chain of
+        # cross-lane reductions loses badly to XLA's sort even at [B, 25]
+        new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
+        parent = flat_idx // kc
+        token = jnp.take_along_axis(
+            cand_tok.reshape(b, k * kc), flat_idx, axis=1
+        )
     return _advance(
         state, new_dec, new_scores, parent, token, t,
-        eos_id=eos_id, pad_id=pad_id, align=align,
+        eos_id=eos_id, pad_id=pad_id, align=align, probe=probe,
     )
 
 
@@ -475,6 +501,7 @@ def beam_decode(
     candidates: bool = False,
     coverage_len: Optional[int] = None,
     return_attention: bool = False,
+    probe: frozenset = frozenset(),
 ) -> Tuple[jnp.ndarray, ...]:
     """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
 
@@ -512,11 +539,13 @@ def beam_decode(
     )
 
     stepper = step_beams_cand if candidates else step_beams
+    extra = {"probe": probe} if (probe and candidates) else {}
 
     def scan_body(state, t):
         return (
             stepper(
-                decode_step, state, t, beam_size=k, eos_id=eos_id, pad_id=pad_id
+                decode_step, state, t, beam_size=k, eos_id=eos_id,
+                pad_id=pad_id, **extra,
             ),
             None,
         )

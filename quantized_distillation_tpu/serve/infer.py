@@ -239,6 +239,7 @@ def _decode_body(
     enc_keys: jnp.ndarray,
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
+    probe: frozenset = frozenset(),
 ) -> Tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
     """Everything up to (but excluding) the generator
     → (state, attn_h, align [rows, T_src]).
@@ -257,7 +258,14 @@ def _decode_body(
     # embeddings are stored in compute_dtype; h/input_feed arrive in
     # compute_dtype (see encode_packed) so the gate-matmul input needs no
     # cast at all — gates/cell math still runs in f32
-    x = dec.tgt_embed[token].astype(dec.compute_dtype)
+    if "noembed" in probe:  # perf probe only: elide the embedding gather
+        x = jnp.broadcast_to(
+            dec.tgt_embed[0][None], (token.shape[0], dec.tgt_embed.shape[1])
+        ).astype(dec.compute_dtype) * (1 + token[:, None] * 0).astype(
+            dec.compute_dtype
+        )
+    else:
+        x = dec.tgt_embed[token].astype(dec.compute_dtype)
     x = jnp.concatenate([x, input_feed.astype(dec.compute_dtype)], axis=-1)
     new_states = []
     for cell in dec.cells:
@@ -329,14 +337,16 @@ def packed_decode_step_topk(
     k: int,
     *,
     with_align: bool = False,
+    probe: frozenset = frozenset(),
 ):
     """Decode step returning per-row top-k candidates ``(vals, idx, lse)``
     via the fused generator kernel — the [B, V] logits never exist in HBM
     (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`;
     ``with_align`` adds the attention alignment (coverage-penalty beams).
+    ``probe`` is perf-probe only (see :func:`.beam._advance`).
     """
     new_state, attn_h, align = _decode_body(
-        dec, state, token, enc_keys, enc_out, enc_mask
+        dec, state, token, enc_keys, enc_out, enc_mask, probe=probe
     )
     cand = dequant_matmul_topk(
         attn_h,
@@ -364,6 +374,7 @@ def beam_search_packed(
     *,
     fused_topk: Optional[bool] = None,
     return_attention: bool = False,
+    probe: frozenset = frozenset(),
 ) -> Tuple[jnp.ndarray, ...]:
     """Beam search driven by the packed decode step (serving entry point).
 
@@ -390,12 +401,13 @@ def beam_search_packed(
         def decode_cand(s, tokens):
             return packed_decode_step_topk(
                 dec, s, tokens, keys, enc_out, enc_mask, k,
-                with_align=with_align,
+                with_align=with_align, probe=probe,
             )
 
         return beam_decode(
             decode_cand, state_b, b, cfg, candidates=True,
             coverage_len=cov_len, return_attention=return_attention,
+            probe=probe,
         )
 
     def decode_step(s, tokens):

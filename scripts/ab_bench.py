@@ -11,7 +11,11 @@ compile each), then alternates two-point measurements across R rounds.
   python scripts/ab_bench.py --level step   --configs base,fold+pair --rounds 3
 
 Config tokens (combine with '+'): fold, pair, lseshift, store8, slots1,
-group16, base (empty). Step level also accepts fp (the FP32 flax path).
+group16, base (empty). Step level also accepts fp (the FP32 flax path),
+cb (codebook requant8 deploy), and the PERF-PROBE tokens nogather /
+notopk / nobook / noembed which skip a named beam-tail component (results
+are wrong; the delta vs the un-probed config attributes that component's
+cost — used for the round-5 tail decomposition).
 """
 
 from __future__ import annotations
@@ -29,12 +33,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+PROBE_TOKENS = ("nogather", "notopk", "nobook", "noembed")
+
+
 def parse_cfg(tok: str) -> dict:
     d = dict(fold=False, pair=False, lse_shift=False, store8=False,
-             slots=2, group=0, fp=False, cb=False)
+             slots=2, group=0, fp=False, cb=False, probe=set())
     for part in tok.split("+"):
         if part in ("base", ""):
             continue
+        elif part in PROBE_TOKENS:
+            # perf probes (step level only): skip a named tail component so
+            # its cost shows up as the delta vs the same config without it.
+            # RESULTS ARE WRONG under a probe — timing attribution only.
+            d["probe"].add(part)
         elif part == "fold":
             d["fold"] = True
         elif part == "pair":
@@ -155,8 +167,11 @@ def build_step(names, args, interp):
                 topk_slots=c["slots"],
             )
 
-            def decode(s, l, dec=dec):
-                return beam_search_packed(model, variables, dec, s, l, cfg)
+            def decode(s, l, dec=dec, c=c):
+                return beam_search_packed(
+                    model, variables, dec, s, l, cfg,
+                    probe=frozenset(c["probe"]),
+                )
 
         @jax.jit
         def loop(s0, sl, nn, decode=decode):

@@ -145,3 +145,37 @@ class TestFusedTopKBeam:
         t1, _ = beam_search(m, v, src, sl, cfg)
         t2, _ = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+class TestPerfProbes:
+    """The perf-probe tokens (scripts/ab_bench.py tail decomposition) must
+    stay compilable, and the default empty probe must be a true no-op
+    (bit-identical decode) — probes are timing-attribution only."""
+
+    def test_empty_probe_is_noop(self, setup):
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=3, max_len=6)
+        t0, s0 = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
+        t1, s1 = beam_search_packed(
+            m, v, dec, src, sl, cfg, fused_topk=True, probe=frozenset()
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    @pytest.mark.parametrize(
+        "tok", ["nogather", "notopk", "nobook", "noembed"]
+    )
+    def test_probe_tokens_compile(self, setup, tok):
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=3, max_len=6)
+        toks, scores = beam_search_packed(
+            m, v, dec, src, sl, cfg, fused_topk=True, probe=frozenset({tok})
+        )
+        assert toks.shape[0] == src.shape[0]
+        assert np.all(np.isfinite(np.asarray(scores)))
