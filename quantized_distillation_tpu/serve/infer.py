@@ -240,9 +240,16 @@ def _decode_body(
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
     probe: frozenset = frozenset(),
+    perm: Optional[jnp.ndarray] = None,
 ) -> Tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
     """Everything up to (but excluding) the generator
     → (state, attn_h, align [rows, T_src]).
+
+    ``perm`` (lazy beam reorder, [rows] flat parent indices): carried
+    state rows are in LAST step's beam order; every read of c/h/feed
+    applies ``[perm]`` so the gather fuses into the consuming pass instead
+    of running as its own HBM pass (see beam._advance "lazyperm").
+    Outputs (new state, attn_h, align) are in CURRENT beam order.
 
     The encoder tensors' leading dim may be the full row count OR any
     divisor of it (sentences, with rows = sentences × beams in k-blocks):
@@ -255,6 +262,7 @@ def _decode_body(
     it otherwise); the coverage-penalty beam path accumulates it.
     """
     states, input_feed = state
+    g = (lambda a: a) if perm is None else (lambda a: a[perm])
     # embeddings are stored in compute_dtype; h/input_feed arrive in
     # compute_dtype (see encode_packed) so the gate-matmul input needs no
     # cast at all — gates/cell math still runs in f32
@@ -266,16 +274,16 @@ def _decode_body(
         )
     else:
         x = dec.tgt_embed[token].astype(dec.compute_dtype)
-    x = jnp.concatenate([x, input_feed.astype(dec.compute_dtype)], axis=-1)
+    x = jnp.concatenate([x, g(input_feed).astype(dec.compute_dtype)], axis=-1)
     new_states = []
     for cell in dec.cells:
         c, h = states[len(new_states)]
         z = _mm(
-            jnp.concatenate([x, h.astype(dec.compute_dtype)], axis=-1),
+            jnp.concatenate([x, g(h).astype(dec.compute_dtype)], axis=-1),
             cell.w, dec,
         ) + cell.bias
         zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
-        c = jax.nn.sigmoid(zf) * c + jax.nn.sigmoid(zi) * jnp.tanh(zg)
+        c = jax.nn.sigmoid(zf) * g(c) + jax.nn.sigmoid(zi) * jnp.tanh(zg)
         h32 = jax.nn.sigmoid(zo) * jnp.tanh(c)
         h = h32.astype(dec.compute_dtype)
         new_states.append((c, h))
@@ -343,10 +351,17 @@ def packed_decode_step_topk(
     via the fused generator kernel — the [B, V] logits never exist in HBM
     (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`;
     ``with_align`` adds the attention alignment (coverage-penalty beams).
-    ``probe`` is perf-probe only (see :func:`.beam._advance`).
+    ``probe`` is perf-probe only (see :func:`.beam._advance`); the
+    ``lazyperm`` token makes ``state`` a ``(tree, perm)`` pair (lazy beam
+    reorder — the returned state is the raw tree, re-wrapped by
+    ``beam._advance``).
     """
+    perm = None
+    if "lazyperm" in probe:
+        state, perm = state
     new_state, attn_h, align = _decode_body(
-        dec, state, token, enc_keys, enc_out, enc_mask, probe=probe
+        dec, state, token, enc_keys, enc_out, enc_mask, probe=probe,
+        perm=perm,
     )
     cand = dequant_matmul_topk(
         attn_h,
@@ -393,6 +408,8 @@ def beam_search_packed(
     # folds the beam factor into the attention batch, cutting its per-step
     # HBM read by ~k
     state_b = expand_to_beams(state, k)
+    if "lazyperm" in probe:
+        state_b = (state_b, jnp.arange(b * k, dtype=jnp.int32))
     with_align = cfg.coverage_penalty != 0.0 or return_attention
     cov_len = enc_out.shape[1]
 

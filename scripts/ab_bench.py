@@ -34,6 +34,9 @@ import numpy as np
 
 
 PROBE_TOKENS = ("nogather", "notopk", "nobook", "noembed")
+# Experimental variants (CORRECT results, threaded via the same channel):
+# btopk = inline bitonic beam combine; lazyperm = deferred state reorder.
+VARIANT_TOKENS = ("btopk", "lazyperm")
 
 
 def parse_cfg(tok: str) -> dict:
@@ -42,7 +45,7 @@ def parse_cfg(tok: str) -> dict:
     for part in tok.split("+"):
         if part in ("base", ""):
             continue
-        elif part in PROBE_TOKENS:
+        elif part in PROBE_TOKENS or part in VARIANT_TOKENS:
             # perf probes (step level only): skip a named tail component so
             # its cost shows up as the delta vs the same config without it.
             # RESULTS ARE WRONG under a probe — timing attribution only.

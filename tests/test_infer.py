@@ -179,3 +179,33 @@ class TestPerfProbes:
         )
         assert toks.shape[0] == src.shape[0]
         assert np.all(np.isfinite(np.asarray(scores)))
+
+    @pytest.mark.parametrize("tok", ["btopk", "lazyperm", "btopk+lazyperm"])
+    def test_variant_tokens_exact_parity(self, setup, tok):
+        """btopk (inline bitonic combine) and lazyperm (deferred state
+        reorder) are CORRECT-result experimental variants: tokens must be
+        bit-identical to the default candidate beam (incl. tie order)."""
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        cfg = BeamConfig(beam_size=5, max_len=10)
+        t0, s0 = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
+        t1, s1 = beam_search_packed(
+            m, v, dec, src, sl, cfg, fused_topk=True,
+            probe=frozenset(tok.split("+")),
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
+
+    def test_bitonic_topk_matches_lax_with_ties(self):
+        from quantized_distillation_tpu.serve.beam import _topk_bitonic
+
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            x = rng.standard_normal((8, 25)).astype(np.float32)
+            x[rng.random((8, 25)) < 0.4] = -1e9  # finished-beam NEG_INF ties
+            v0, i0 = jax.lax.top_k(jnp.asarray(x), 5)
+            v1, i1 = _topk_bitonic(jnp.asarray(x), 5)
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
