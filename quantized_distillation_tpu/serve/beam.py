@@ -258,49 +258,6 @@ def _gather_beams(tree: PyTree, parent: jnp.ndarray, batch: int, k: int) -> PyTr
     return jax.tree.map(lambda t: t[flat_idx], tree)
 
 
-def _topk_bitonic(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k over a small trailing dim via an inline bitonic sort.
-
-    Tie-compatible with ``jax.lax.top_k`` (values descending, equal values
-    ordered by ascending index) so it is a drop-in for the beam combine.
-    Unlike the opaque sort custom-call ``lax.top_k`` lowers to, this is a
-    chain of elementwise selects over STATIC permutations — XLA fuses the
-    whole network into the surrounding step fusion, removing the separate
-    sort dispatch from the per-step tail. Intended for tiny n (the [B,
-    k*kc] beam combine, n = 25); the network is O(n log^2 n) VPU work.
-    """
-    n = x.shape[-1]
-    m = 1
-    while m < n:
-        m *= 2
-    neg = jnp.full(x.shape[:-1] + (m - n,), -jnp.inf, x.dtype)
-    vals = jnp.concatenate([x, neg], axis=-1) if m != n else x
-    idx = jnp.broadcast_to(
-        jnp.arange(m, dtype=jnp.int32), vals.shape
-    )
-    pos = jnp.arange(m)
-    size = 2
-    while size <= m:
-        stride = size // 2
-        while stride >= 1:
-            part = pos ^ stride  # static partner permutation
-            pv = jnp.take(vals, part, axis=-1)
-            pi = jnp.take(idx, part, axis=-1)
-            # descending blocks where (pos & size) == 0
-            desc = (pos & size) == 0
-            upper = pos < part
-            # "this element keeps the pair's winner" (winner = larger
-            # value, ties to the lower original index)
-            keep_win = jnp.broadcast_to(upper == desc, vals.shape)
-            p_wins = (pv > vals) | ((pv == vals) & (pi < idx))
-            take_p = jnp.where(keep_win, p_wins, ~p_wins)
-            vals = jnp.where(take_p, pv, vals)
-            idx = jnp.where(take_p, pi, idx)
-            stride //= 2
-        size *= 2
-    return vals[..., :k], idx[..., :k]
-
-
 def length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
     """GNMT length normalization ((5+len)/6)^alpha; 1 when alpha == 0."""
     if alpha == 0.0:
@@ -351,14 +308,7 @@ def _advance(
     ``nobook`` skips the history writes + EOS/length bookkeeping.
     """
     b, k = state.scores.shape
-    if "lazyperm" in probe:
-        # experimental (CORRECT results): defer the decoder-state reorder —
-        # carry (unordered state, parent permutation) and let the NEXT
-        # step's reads apply it, fusing the 4.6MB/step gather pass into
-        # passes that already exist (see infer._decode_body perm=).
-        base = jnp.arange(b, dtype=jnp.int32)[:, None] * k
-        new_dec = (new_dec, (base + parent).reshape(-1).astype(jnp.int32))
-    elif "nogather" not in probe:
+    if "nogather" not in probe:
         new_dec = _gather_beams(new_dec, parent, b, k)
     gather = jax.vmap(lambda a, i: a[i])
     finished = gather(state.finished, parent)
@@ -503,14 +453,13 @@ def step_beams_cand(
         parent = jnp.abs(cand_tok[..., 0]) % k
         token = cand_tok[..., 0]
     else:
-        # lax.top_k, NOT the tempting k-pass iterative argmax: measured at
-        # the full decode step the argmax variant cost +27us/step (627.6k
-        # vs 726.1k tokens/s, BASELINE round 4) — its serial chain of
-        # cross-lane reductions loses badly to XLA's sort even at [B, 25].
-        # "btopk" (experimental, CORRECT results): inline bitonic network
-        # instead of the sort custom-call — fuses into the step.
-        topk = _topk_bitonic if "btopk" in probe else jax.lax.top_k
-        new_scores, flat_idx = topk(cand.reshape(b, k * kc), beam_size)
+        # lax.top_k, NOT the tempting alternatives — both measured worse at
+        # the full decode step: k-pass iterative argmax +27us/step (BASELINE
+        # round 4); an inline tie-exact bitonic network on [B, 32]
+        # −11.5us/step SLOWER than the sort custom-call (round-5 interleaved
+        # A/B "btopk", 741.2k vs 794.3k tokens/s — the elementwise select
+        # chain does not fuse into one pass the way it reads).
+        new_scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * kc), beam_size)
         parent = flat_idx // kc
         token = jnp.take_along_axis(
             cand_tok.reshape(b, k * kc), flat_idx, axis=1

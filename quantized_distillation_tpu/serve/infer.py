@@ -42,6 +42,53 @@ from .beam import beam_decode, expand_to_beams
 PyTree = Any
 
 
+class FusedDecState(struct.PyTreeNode):
+    """Serving-side decoder state fused into TWO row-major buffers.
+
+    The per-step beam reorder (``beam._gather_beams``) is the largest
+    non-generator item of the decode step; as 2L+1 separate per-leaf
+    gathers it measured 14.7 µs/step at the serving shape (M=640, H=256,
+    L=2 — interleaved ``nogather`` probe, BASELINE round 5) moving only
+    ~4.6 MB r+w, i.e. ~40% of HBM peak. Fusing the state into two
+    contiguous buffers makes the reorder two wide-row gathers (2 KB f32 /
+    1.5 KB bf16 rows) that stream at bandwidth. Column blocks are
+    layer-major: ``c = [c_0 | c_1 | ...]`` (f32 — cell state accumulates
+    across steps), ``hf = [h_0 | h_1 | ... | input_feed]`` (compute
+    dtype — these only ever feed compute-dtype matmuls). Slice reads in
+    ``_decode_body`` are lane-aligned for every preset (H a multiple of
+    128) and free; the rebuild concats fuse into the producing cell math.
+    """
+
+    c: jnp.ndarray  # [M, L*H] float32
+    hf: jnp.ndarray  # [M, (L+1)*H] compute dtype
+
+
+def fuse_dec_state(state: DecoderState, compute_dtype) -> FusedDecState:
+    """Nested-tuple flax ``DecoderState`` → :class:`FusedDecState`."""
+    states, input_feed = state
+    c = jnp.concatenate([c for c, _ in states], axis=-1).astype(jnp.float32)
+    hf = jnp.concatenate(
+        [h.astype(compute_dtype) for _, h in states]
+        + [input_feed.astype(compute_dtype)],
+        axis=-1,
+    )
+    return FusedDecState(c=c, hf=hf)
+
+
+def unfuse_dec_state(
+    state: FusedDecState, num_layers: int, hidden: int
+) -> DecoderState:
+    """:class:`FusedDecState` → nested-tuple flax ``DecoderState``."""
+    states = tuple(
+        (
+            state.c[:, i * hidden:(i + 1) * hidden],
+            state.hf[:, i * hidden:(i + 1) * hidden],
+        )
+        for i in range(num_layers)
+    )
+    return states, state.hf[:, num_layers * hidden:]
+
+
 class PackedLSTMCell(struct.PyTreeNode):
     """Fused [x;h] → gates matrix: [E_in + H, 4H] packed, gate order i,f,g,o
     (flax OptimizedLSTMCell convention: kernels ``ii/if/ig/io``+``hi/..``)."""
@@ -197,11 +244,16 @@ def pack_decoder(
 
 
 def encode_packed(
-    model, variables: PyTree, dec: PackedDecoder, src, src_len
+    model, variables: PyTree, dec: PackedDecoder, src, src_len,
+    *, fused: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecoderState]:
     """Dense-encoder pass + attention-key precompute.
 
-    → (enc_keys [B,T,H], enc_out [B,T,H], enc_mask [B,T], init DecoderState).
+    → (enc_keys [B,T,H], enc_out [B,T,H], enc_mask [B,T], init state).
+    ``fused=True`` (serving default) returns the state as a
+    :class:`FusedDecState` (two-buffer layout — cheap per-step beam
+    reorder); ``fused=False`` returns the flax nested-tuple
+    ``DecoderState`` (for driving the flax decode path side by side).
     """
     enc_out, enc_mask, state = model.apply(
         variables, src, src_len, method=model.encode
@@ -220,6 +272,8 @@ def encode_packed(
     # way) while halving the bytes the per-step beam-reorder gather moves
     # (round-3 decomposition: the state gather was ~16us of the decode
     # step). The LSTM cell state c stays f32: it accumulates across steps.
+    if fused:
+        return keys, enc_out, enc_mask, fuse_dec_state(state, dec.compute_dtype)
     states, input_feed = state
     states = tuple((c, h.astype(dec.compute_dtype)) for c, h in states)
     state = (states, input_feed.astype(dec.compute_dtype))
@@ -240,16 +294,14 @@ def _decode_body(
     enc_out: jnp.ndarray,
     enc_mask: jnp.ndarray,
     probe: frozenset = frozenset(),
-    perm: Optional[jnp.ndarray] = None,
 ) -> Tuple[DecoderState, jnp.ndarray, jnp.ndarray]:
     """Everything up to (but excluding) the generator
     → (state, attn_h, align [rows, T_src]).
 
-    ``perm`` (lazy beam reorder, [rows] flat parent indices): carried
-    state rows are in LAST step's beam order; every read of c/h/feed
-    applies ``[perm]`` so the gather fuses into the consuming pass instead
-    of running as its own HBM pass (see beam._advance "lazyperm").
-    Outputs (new state, attn_h, align) are in CURRENT beam order.
+    ``state`` may be a :class:`FusedDecState` (serving layout — slice
+    reads, concat rebuild; in by far the common path) or the flax
+    nested-tuple ``DecoderState`` (parity/driving-the-flax-path uses);
+    the output state matches the input representation.
 
     The encoder tensors' leading dim may be the full row count OR any
     divisor of it (sentences, with rows = sentences × beams in k-blocks):
@@ -261,8 +313,13 @@ def _decode_body(
     a byproduct of that attention (free unless consumed — XLA dead-codes
     it otherwise); the coverage-penalty beam path accumulates it.
     """
-    states, input_feed = state
-    g = (lambda a: a) if perm is None else (lambda a: a[perm])
+    fused = isinstance(state, FusedDecState)
+    hd = dec.hidden
+    nl = len(dec.cells)
+    if fused:
+        input_feed = state.hf[:, nl * hd:]
+    else:
+        states, input_feed = state
     # embeddings are stored in compute_dtype; h/input_feed arrive in
     # compute_dtype (see encode_packed) so the gate-matmul input needs no
     # cast at all — gates/cell math still runs in f32
@@ -274,16 +331,20 @@ def _decode_body(
         )
     else:
         x = dec.tgt_embed[token].astype(dec.compute_dtype)
-    x = jnp.concatenate([x, g(input_feed).astype(dec.compute_dtype)], axis=-1)
+    x = jnp.concatenate([x, input_feed.astype(dec.compute_dtype)], axis=-1)
     new_states = []
-    for cell in dec.cells:
-        c, h = states[len(new_states)]
+    for i, cell in enumerate(dec.cells):
+        if fused:
+            c = state.c[:, i * hd:(i + 1) * hd]
+            h = state.hf[:, i * hd:(i + 1) * hd]
+        else:
+            c, h = states[i]
         z = _mm(
-            jnp.concatenate([x, g(h).astype(dec.compute_dtype)], axis=-1),
+            jnp.concatenate([x, h.astype(dec.compute_dtype)], axis=-1),
             cell.w, dec,
         ) + cell.bias
         zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
-        c = jax.nn.sigmoid(zf) * g(c) + jax.nn.sigmoid(zi) * jnp.tanh(zg)
+        c = jax.nn.sigmoid(zf) * c + jax.nn.sigmoid(zi) * jnp.tanh(zg)
         h32 = jax.nn.sigmoid(zo) * jnp.tanh(c)
         h = h32.astype(dec.compute_dtype)
         new_states.append((c, h))
@@ -309,7 +370,16 @@ def _decode_body(
     # step's gate matmul would apply anyway); the generator consumes the
     # f32 attn_h directly
     feed = attn_h.astype(dec.compute_dtype)
-    return (tuple(new_states), feed), attn_h, align.reshape(rows, -1)
+    if fused:
+        new_state = FusedDecState(
+            c=jnp.concatenate([c for c, _ in new_states], axis=-1),
+            hf=jnp.concatenate(
+                [h for _, h in new_states] + [feed], axis=-1
+            ),
+        )
+    else:
+        new_state = (tuple(new_states), feed)
+    return new_state, attn_h, align.reshape(rows, -1)
 
 
 def packed_decode_step(
@@ -351,17 +421,10 @@ def packed_decode_step_topk(
     via the fused generator kernel — the [B, V] logits never exist in HBM
     (see :mod:`..kernels.topk_fused`). Feeds :func:`.beam.step_beams_cand`;
     ``with_align`` adds the attention alignment (coverage-penalty beams).
-    ``probe`` is perf-probe only (see :func:`.beam._advance`); the
-    ``lazyperm`` token makes ``state`` a ``(tree, perm)`` pair (lazy beam
-    reorder — the returned state is the raw tree, re-wrapped by
-    ``beam._advance``).
+    ``probe`` is perf-probe only (see :func:`.beam._advance`).
     """
-    perm = None
-    if "lazyperm" in probe:
-        state, perm = state
     new_state, attn_h, align = _decode_body(
-        dec, state, token, enc_keys, enc_out, enc_mask, probe=probe,
-        perm=perm,
+        dec, state, token, enc_keys, enc_out, enc_mask, probe=probe
     )
     cand = dequant_matmul_topk(
         attn_h,
@@ -390,6 +453,7 @@ def beam_search_packed(
     fused_topk: Optional[bool] = None,
     return_attention: bool = False,
     probe: frozenset = frozenset(),
+    fused_state: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     """Beam search driven by the packed decode step (serving entry point).
 
@@ -403,13 +467,15 @@ def beam_search_packed(
     b, k = src.shape[0], cfg.beam_size
     if fused_topk is None:
         fused_topk = k <= KMAX
-    keys, enc_out, enc_mask, state = encode_packed(model, variables, dec, src, src_len)
+    # fused_state=False keeps the nested-tuple DecoderState (slow per-step
+    # reorder) — A/B hook only; the FusedDecState layout is the default
+    keys, enc_out, enc_mask, state = encode_packed(
+        model, variables, dec, src, src_len, fused=fused_state
+    )
     # encoder tensors stay per-SENTENCE (not beam-expanded): _decode_body
     # folds the beam factor into the attention batch, cutting its per-step
     # HBM read by ~k
     state_b = expand_to_beams(state, k)
-    if "lazyperm" in probe:
-        state_b = (state_b, jnp.arange(b * k, dtype=jnp.int32))
     with_align = cfg.coverage_penalty != 0.0 or return_attention
     cov_len = enc_out.shape[1]
 

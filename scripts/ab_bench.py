@@ -34,18 +34,18 @@ import numpy as np
 
 
 PROBE_TOKENS = ("nogather", "notopk", "nobook", "noembed")
-# Experimental variants (CORRECT results, threaded via the same channel):
-# btopk = inline bitonic beam combine; lazyperm = deferred state reorder.
-VARIANT_TOKENS = ("btopk", "lazyperm")
 
 
 def parse_cfg(tok: str) -> dict:
     d = dict(fold=False, pair=False, lse_shift=False, store8=False,
-             slots=2, group=0, fp=False, cb=False, probe=set())
+             slots=2, group=0, fp=False, cb=False, probe=set(),
+             tuplestate=False)
     for part in tok.split("+"):
         if part in ("base", ""):
             continue
-        elif part in PROBE_TOKENS or part in VARIANT_TOKENS:
+        elif part == "tuplestate":
+            d["tuplestate"] = True  # pre-round-5 nested-tuple state layout
+        elif part in PROBE_TOKENS:
             # perf probes (step level only): skip a named tail component so
             # its cost shows up as the delta vs the same config without it.
             # RESULTS ARE WRONG under a probe — timing attribution only.
@@ -174,6 +174,7 @@ def build_step(names, args, interp):
                 return beam_search_packed(
                     model, variables, dec, s, l, cfg,
                     probe=frozenset(c["probe"]),
+                    fused_state=not c["tuplestate"],
                 )
 
         @jax.jit
@@ -209,11 +210,19 @@ def main():
     ap.add_argument("--lo", type=int, default=0)
     ap.add_argument("--hi", type=int, default=0)
     ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--require-tpu", action="store_true")
     args = ap.parse_args()
     if not args.lo:
         args.lo, args.hi = (20, 120) if args.level == "kernel" else (4, 36)
 
-    interp = jax.devices()[0].platform == "cpu"
+    dev = jax.devices()[0]
+    interp = dev.platform == "cpu"
+    print(json.dumps({"device": str(dev), "platform": dev.platform}), flush=True)
+    if args.require_tpu and interp:
+        raise SystemExit(
+            "--require-tpu: jax picked the CPU backend (tunnel down or env "
+            "stripped) — refusing to record meaningless interpret-mode times"
+        )
     names = [s.strip() for s in args.configs.split(",")]
     if args.level == "kernel":
         loops, unit = build_kernel(names, args, interp)

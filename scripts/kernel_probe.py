@@ -211,7 +211,7 @@ def main():
             _, state, tok = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), state0, tok0)
             )
-            return jnp.sum(tok) + jnp.sum(state[0][0][0])
+            return jnp.sum(tok) + jnp.sum(jax.tree.leaves(state)[0])
 
         loop = jax.jit(chain)
         t = None

@@ -46,7 +46,10 @@ class TestPackedDecoder:
         dec = pack_decoder(
             v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
         )
-        keys, enc_out, enc_mask, state = encode_packed(m, v, dec, src, sl)
+        # fused=False: the flax decode_step needs the nested-tuple state
+        keys, enc_out, enc_mask, state = encode_packed(
+            m, v, dec, src, sl, fused=False
+        )
         tok = jnp.asarray([1, 1], jnp.int32)
         _, logit_flax = m.apply(v, state, tok, enc_out, enc_mask, method=m.decode_step)
         _, logit_packed = packed_decode_step(dec, state, tok, keys, enc_out, enc_mask)
@@ -180,32 +183,65 @@ class TestPerfProbes:
         assert toks.shape[0] == src.shape[0]
         assert np.all(np.isfinite(np.asarray(scores)))
 
-    @pytest.mark.parametrize("tok", ["btopk", "lazyperm", "btopk+lazyperm"])
-    def test_variant_tokens_exact_parity(self, setup, tok):
-        """btopk (inline bitonic combine) and lazyperm (deferred state
-        reorder) are CORRECT-result experimental variants: tokens must be
-        bit-identical to the default candidate beam (incl. tie order)."""
+class TestFusedDecState:
+    """Two-buffer serving state layout (round 5: makes the per-step beam
+    reorder two contiguous gathers instead of 2L+1 small ones)."""
+
+    def test_fuse_unfuse_roundtrip(self, setup):
+        from quantized_distillation_tpu.serve.infer import (
+            encode_packed as ep, fuse_dec_state, unfuse_dec_state,
+        )
+
         m, v, src, sl = setup
         dec = pack_decoder(
             v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
         )
-        cfg = BeamConfig(beam_size=5, max_len=10)
-        t0, s0 = beam_search_packed(m, v, dec, src, sl, cfg, fused_topk=True)
-        t1, s1 = beam_search_packed(
-            m, v, dec, src, sl, cfg, fused_topk=True,
-            probe=frozenset(tok.split("+")),
+        _, _, _, tup = ep(m, v, dec, src, sl, fused=False)
+        fused = fuse_dec_state(tup, dec.compute_dtype)
+        back = unfuse_dec_state(fused, len(dec.cells), dec.hidden)
+        for (c0, h0), (c1, h1) in zip(tup[0], back[0]):
+            np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+            np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(tup[1]), np.asarray(back[1]))
+
+    def test_fused_step_matches_tuple_step(self, setup):
+        """_decode_body on the fused layout must be bit-identical to the
+        nested-tuple layout (same math, different storage)."""
+        from quantized_distillation_tpu.serve.infer import (
+            encode_packed as ep, fuse_dec_state, unfuse_dec_state,
         )
-        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
-        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
 
-    def test_bitonic_topk_matches_lax_with_ties(self):
-        from quantized_distillation_tpu.serve.beam import _topk_bitonic
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        keys, enc_out, enc_mask, tup = ep(m, v, dec, src, sl, fused=False)
+        fused = fuse_dec_state(tup, dec.compute_dtype)
+        tok = jnp.asarray([1, 2], jnp.int32)
+        st_t, logit_t = packed_decode_step(dec, tup, tok, keys, enc_out, enc_mask)
+        st_f, logit_f = packed_decode_step(dec, fused, tok, keys, enc_out, enc_mask)
+        np.testing.assert_array_equal(np.asarray(logit_t), np.asarray(logit_f))
+        back = unfuse_dec_state(st_f, len(dec.cells), dec.hidden)
+        for (c0, h0), (c1, h1) in zip(st_t[0], back[0]):
+            np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+            np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(st_t[1]), np.asarray(back[1]))
 
-        rng = np.random.default_rng(3)
-        for _ in range(20):
-            x = rng.standard_normal((8, 25)).astype(np.float32)
-            x[rng.random((8, 25)) < 0.4] = -1e9  # finished-beam NEG_INF ties
-            v0, i0 = jax.lax.top_k(jnp.asarray(x), 5)
-            v1, i1 = _topk_bitonic(jnp.asarray(x), 5)
-            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
-            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    def test_default_beam_path_uses_fused_state_and_matches_flax(self, setup):
+        # beam parity with the flax path already runs through the fused
+        # layout (encode_packed default) — assert the default really is
+        # fused so the fast layout can't silently revert
+        from quantized_distillation_tpu.serve.infer import (
+            FusedDecState, encode_packed as ep,
+        )
+
+        m, v, src, sl = setup
+        dec = pack_decoder(
+            v["params"], m.cfg, 8, compute_dtype=jnp.float32, use_pallas=False
+        )
+        _, _, _, st = ep(m, v, dec, src, sl)
+        assert isinstance(st, FusedDecState)
+        cfg = BeamConfig(beam_size=3, max_len=8)
+        t1, _ = beam_search(m, v, src, sl, cfg)
+        t2, _ = beam_search_packed(m, v, dec, src, sl, cfg)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
