@@ -415,8 +415,14 @@ def step_beams_cand(
     eos_id: int = EOS,
     pad_id: int = PAD,
     probe: frozenset = frozenset(),
+    combine: str = "xla",
 ) -> BeamState:
     """Beam advance from per-beam top-k CANDIDATES instead of full logits.
+
+    ``combine`` selects the per-sentence top-k implementation: ``"xla"``
+    (``lax.top_k`` + token take) or ``"pallas"``/``"interpret"`` (the
+    one-launch fused kernel :func:`..kernels.beam_combine.beam_combine_topk`
+    — bit-identical semantics incl. tie order).
 
     ``decode_cand(state, tokens [B*K]) -> (state, (vals [B*K, kc],
     idx [B*K, kc], lse [B*K, 1]))`` — the contract of the fused
@@ -452,6 +458,14 @@ def step_beams_cand(
         new_scores = cand[..., 0]
         parent = jnp.abs(cand_tok[..., 0]) % k
         token = cand_tok[..., 0]
+    elif combine != "xla":
+        from ..kernels.beam_combine import beam_combine_topk
+
+        new_scores, pos, token = beam_combine_topk(
+            cand.reshape(b, k * kc), cand_tok.reshape(b, k * kc), beam_size,
+            interpret=combine == "interpret",
+        )
+        parent = pos // kc
     else:
         # lax.top_k, NOT the tempting alternatives — both measured worse at
         # the full decode step: k-pass iterative argmax +27us/step (BASELINE
@@ -504,6 +518,7 @@ def beam_decode(
     coverage_len: Optional[int] = None,
     return_attention: bool = False,
     probe: frozenset = frozenset(),
+    combine: str = "xla",
 ) -> Tuple[jnp.ndarray, ...]:
     """Backend-agnostic beam core: scan ``max_len`` steps over any decoder.
 
@@ -541,7 +556,11 @@ def beam_decode(
     )
 
     stepper = step_beams_cand if candidates else step_beams
-    extra = {"probe": probe} if (probe and candidates) else {}
+    extra = {}
+    if candidates and probe:
+        extra["probe"] = probe
+    if candidates and combine != "xla":
+        extra["combine"] = combine
 
     def scan_body(state, t):
         return (

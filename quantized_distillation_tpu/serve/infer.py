@@ -454,6 +454,7 @@ def beam_search_packed(
     return_attention: bool = False,
     probe: frozenset = frozenset(),
     fused_state: bool = True,
+    combine: str = "auto",
 ) -> Tuple[jnp.ndarray, ...]:
     """Beam search driven by the packed decode step (serving entry point).
 
@@ -487,10 +488,18 @@ def beam_search_packed(
                 with_align=with_align, probe=probe,
             )
 
+        # combine="auto": the fused pallas beam-combine when the decoder
+        # runs pallas kernels (interleaved step A/B: 857.8k vs 831.1k
+        # tokens/s, −4.8us/step — BASELINE round 5), else the identical
+        # lax.top_k fallback
+        if combine == "auto":
+            combine = "pallas" if dec.use_pallas else "xla"
+        elif combine == "pallas" and not dec.use_pallas:
+            combine = "xla"  # no TPU below us — the fallback is identical
         return beam_decode(
             decode_cand, state_b, b, cfg, candidates=True,
             coverage_len=cov_len, return_attention=return_attention,
-            probe=probe,
+            probe=probe, combine=combine,
         )
 
     def decode_step(s, tokens):

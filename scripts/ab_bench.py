@@ -39,12 +39,14 @@ PROBE_TOKENS = ("nogather", "notopk", "nobook", "noembed")
 def parse_cfg(tok: str) -> dict:
     d = dict(fold=False, pair=False, lse_shift=False, store8=False,
              slots=2, group=0, fp=False, cb=False, probe=set(),
-             tuplestate=False)
+             tuplestate=False, kcomb=False)
     for part in tok.split("+"):
         if part in ("base", ""):
             continue
         elif part == "tuplestate":
             d["tuplestate"] = True  # pre-round-5 nested-tuple state layout
+        elif part == "kcomb":
+            d["kcomb"] = True  # fused pallas beam-combine kernel
         elif part in PROBE_TOKENS:
             # perf probes (step level only): skip a named tail component so
             # its cost shows up as the delta vs the same config without it.
@@ -175,6 +177,7 @@ def build_step(names, args, interp):
                     model, variables, dec, s, l, cfg,
                     probe=frozenset(c["probe"]),
                     fused_state=not c["tuplestate"],
+                    combine="pallas" if c["kcomb"] else "xla",
                 )
 
         @jax.jit

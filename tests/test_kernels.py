@@ -613,3 +613,42 @@ class TestCrossKernelNumerics:
         np.testing.assert_allclose(
             np.asarray(lse_fused), np.asarray(lse_plain), atol=noise
         )
+
+
+class TestBeamCombineKernel:
+    """One-launch fused beam combine (kernels/beam_combine.py): must be
+    bit-identical to lax.top_k + take_along_axis including tie order
+    (finished beams produce blocks of equal NEG_INF candidates)."""
+
+    def test_matches_lax_topk_with_ties(self):
+        from quantized_distillation_tpu.kernels.beam_combine import (
+            beam_combine_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            cand = rng.standard_normal((16, 25)).astype(np.float32) * 10
+            cand[rng.random((16, 25)) < 0.35] = -1e9
+            tok = rng.integers(0, 32000, (16, 25)).astype(np.int32)
+            v0, p0 = jax.lax.top_k(jnp.asarray(cand), 5)
+            t0 = jnp.take_along_axis(jnp.asarray(tok), p0, axis=1)
+            v1, p1, t1 = beam_combine_topk(
+                jnp.asarray(cand), jnp.asarray(tok), 5, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    def test_wide_candidate_fallback(self):
+        from quantized_distillation_tpu.kernels.beam_combine import (
+            beam_combine_topk,
+        )
+
+        # n > 128 lanes falls back to lax.top_k (identical semantics)
+        rng = np.random.default_rng(2)
+        cand = jnp.asarray(rng.standard_normal((4, 200)).astype(np.float32))
+        tok = jnp.asarray(rng.integers(0, 99, (4, 200)).astype(np.int32))
+        v0, p0 = jax.lax.top_k(cand, 7)
+        v1, p1, t1 = beam_combine_topk(cand, tok, 7, interpret=True)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
