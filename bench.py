@@ -319,6 +319,34 @@ def run_engine(args):
     t_step = max((walls[hi_c] - walls[lo_c]) / (iters * (hi_c - lo_c)), 1e-9)
     engine_tok_s = s_slots / t_step
 
+    # Same-process OFFLINE leg (round-5 measurement discipline: ratios are
+    # only meaningful within one process — cross-invocation drift is ±3%
+    # at bench level, see BASELINE day-spread diagnosis). One extra
+    # compile; reuses the model/decoder the engine serves.
+    from quantized_distillation_tpu.serve.infer import beam_search_packed
+
+    ocfg = BeamConfig(beam_size=args.beam, max_len=args.src_len)
+    src_len_v = jnp.full((s_slots,), args.src_len, jnp.int32)
+
+    @jax.jit
+    def o_loop(s0, sl, n):
+        def cond(c):
+            return c[0] < n
+
+        def body(c):
+            i, s, acc = c
+            toks, scores = beam_search_packed(
+                model, variables, dec, s, sl, ocfg
+            )
+            nxt = jnp.clip(toks, 4, args.vocab - 1).astype(jnp.int32)
+            return i + 1, nxt, acc + jnp.sum(scores)
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), s0, 0.0))[2]
+
+    lo_n, hi_n = (1, 2) if args.quick else (4, 36)
+    t_dec = time_path(lambda n: o_loop(src0, src_len_v, n), lo_n, hi_n, args.trials)
+    offline_tok_s = s_slots * args.src_len / t_dec
+
     # churn segment: arrivals at ~0.9 offered load, occupancy + correctness.
     # --arrival poisson (default) is the bursty worst case; --arrival smooth
     # spreads the same offered load evenly (deterministic rate) — the pair
@@ -403,6 +431,10 @@ def run_engine(args):
                 "vs_baseline": (
                     round(engine_tok_s / args.offline_tok_s, 3)
                     if args.offline_tok_s else None
+                ),
+                "offline_same_process_tokens_per_s": round(offline_tok_s, 1),
+                "vs_offline_same_process": round(
+                    engine_tok_s / offline_tok_s, 3
                 ),
                 "occupancy_at_0.9_load": round(float(occupancy), 3),
                 "steady_state_occupancy": round(float(ss_occ), 3),
