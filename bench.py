@@ -456,7 +456,11 @@ def main():
     # 128 slots: measured the best tokens/s/chip operating point on v5e
     # (B=64 underfills the MXU at M=320; B=256 needs generator_group=8 and
     # measured slightly below B=128).
-    p.add_argument("--batch", type=int, default=128)
+    # 256 (rows=1280, generator group 16 at the 48MB scoped-VMEM limit)
+    # overtook 128 once the round-5 beam-tail work landed: 911.9k vs 859.4k
+    # tokens/s (BASELINE round-5 continuation). FP32's best operating point
+    # stays B=128 — the honest cross-best ratio is ~10.1x, also recorded.
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--src-len", type=int, default=24)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--bits", type=int, default=4)
